@@ -1,0 +1,119 @@
+"""Fused crop + resize + colorspace + normalize preprocess.
+
+This is the TPU-native replacement for two reference components at once
+(SURVEY.md §2, "native components" items 1-2):
+
+* the CPU NV12->RGB converter ``nv12_full_to_rgb_parallel``
+  (/root/reference/src/nv12_convert.rs:46-92), which the legacy pipeline ran
+  over the *entire* 1080p frame every frame only to feed a small tracker
+  crop (pipeline.rs:104-106);
+* the OpenCV crop/resize/normalize inside the external ``vit_tracker``
+  crate (SURVEY.md §2.9).
+
+Here the whole chain — chroma-folded bilinear window resampling, BT.601
+conversion, and model normalisation — is one linear+elementwise program over
+the HBM-resident frame.  Only the pixels the sampling matrices touch are
+ever converted; nothing round-trips to the host.  The resampling runs as
+MXU matmuls (see ops/resample.py); XLA fuses the conversion and
+normalisation into the matmul epilogue.
+
+Crop geometry follows the OSTrack/VitTrack convention used by the OpenCV
+Zoo ``object_tracking_vittrack_2023sep`` model the reference loads
+(main.rs:25): a square window of side ``ceil(factor * sqrt(w*h))`` centred
+on the target, zero-padded where it leaves the frame, resized to the model
+input size.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+
+from .colorspace import rgb_from_shifted_yuv_f32
+from .resample import fold_half_res, sampling_matrix
+
+__all__ = ["CropWindow", "crop_window", "preprocess_rgb", "preprocess_nv12",
+           "normalize"]
+
+
+class CropWindow(NamedTuple):
+    """Square sampling window in source-frame pixels."""
+
+    cx: jnp.ndarray      # window centre x
+    cy: jnp.ndarray      # window centre y
+    size: jnp.ndarray    # window side length (source px)
+
+
+def crop_window(bbox: jnp.ndarray, factor: float) -> CropWindow:
+    """Window around ``bbox`` = (x, y, w, h) with ``factor`` x context.
+
+    ``side = ceil(factor * sqrt(w * h))`` — the OSTrack ``sample_target``
+    convention; w/h are floored at 1px so a degenerate box still yields a
+    valid window.
+    """
+    x, y, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
+    w = jnp.maximum(w, 1.0)
+    h = jnp.maximum(h, 1.0)
+    cx = x + 0.5 * w
+    cy = y + 0.5 * h
+    size = jnp.ceil(factor * jnp.sqrt(w * h))
+    return CropWindow(cx=cx, cy=cy, size=jnp.maximum(size, 2.0))
+
+
+def normalize(rgb01: jnp.ndarray, mean: Sequence[float],
+              std: Sequence[float]) -> jnp.ndarray:
+    """Channel-wise ``(x - mean) / std`` on a (..., 3) image in [0, 1]."""
+    m = jnp.asarray(mean, rgb01.dtype)
+    s = jnp.asarray(std, rgb01.dtype)
+    return (rgb01 - m) / s
+
+
+def preprocess_rgb(rgb: jnp.ndarray, window: CropWindow, out_size: int,
+                   mean: Sequence[float], std: Sequence[float],
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """Crop ``window`` from an (H, W, 3) uint8 RGB frame, resize to
+    ``out_size`` square, scale to [0,1] and normalise.  Returns float
+    (out_size, out_size, 3)."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    scale = window.size / out_size
+    ry = sampling_matrix(out_size, h, window.cy - 0.5 * window.size, scale, dtype)
+    cx = sampling_matrix(out_size, w, window.cx - 0.5 * window.size, scale, dtype)
+    imgf = rgb.astype(dtype)
+    tmp = jnp.einsum("oh,hwc->owc", ry, imgf, preferred_element_type=dtype)
+    crop = jnp.einsum("pw,owc->opc", cx, tmp, preferred_element_type=dtype)
+    return normalize(crop / 255.0, mean, std)
+
+
+def preprocess_nv12(y_plane: jnp.ndarray, uv_plane: jnp.ndarray,
+                    window: CropWindow, out_size: int,
+                    mean: Sequence[float], std: Sequence[float],
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Fused NV12 -> normalised RGB model crop.
+
+    ``y_plane``: (H, W) uint8;  ``uv_plane``: (H//2, W//2, 2) uint8 with
+    channel 0 = U, 1 = V (even H, W — the production frame layout).
+
+    Luma is resampled at full resolution; chroma is resampled directly at
+    half resolution through the pair-folded matrices (exactly equivalent to
+    the reference's block-replicate upsample followed by the same bilinear
+    resample — see :func:`ops.resample.fold_half_res`).  The black-level
+    offsets (Y-16, U-128, V-128) are subtracted *before* resampling so the
+    zero-weight padding region decodes to black; BT.601 conversion and
+    normalisation happen in float on the resampled planes.  No intermediate
+    full-frame RGB image ever exists.
+    """
+    h, w = y_plane.shape
+    scale = window.size / out_size
+    ry = sampling_matrix(out_size, h, window.cy - 0.5 * window.size, scale, dtype)
+    cxm = sampling_matrix(out_size, w, window.cx - 0.5 * window.size, scale, dtype)
+    ry_uv = fold_half_res(ry)
+    cx_uv = fold_half_res(cxm)
+
+    yc = ry @ (y_plane.astype(dtype) - 16.0) @ cxm.T
+    uc = ry_uv @ (uv_plane[..., 0].astype(dtype) - 128.0) @ cx_uv.T
+    vc = ry_uv @ (uv_plane[..., 1].astype(dtype) - 128.0) @ cx_uv.T
+
+    rgb = rgb_from_shifted_yuv_f32(yc, uc, vc)
+    rgb = jnp.clip(rgb, 0.0, 255.0)
+    return normalize(rgb / 255.0, mean, std)
