@@ -1,0 +1,6 @@
+"""Frame IO: sources, sinks, and the bounded drop-oldest queue."""
+
+from . import queue, sink, source  # noqa: F401
+from .queue import FrameQueue  # noqa: F401
+from .sink import FileSink, NullSink  # noqa: F401
+from .source import FileSource, SyntheticSource, V4L2Source  # noqa: F401

@@ -1,0 +1,197 @@
+"""Frame sources: synthetic video, file playback, optional V4L2.
+
+The reference's only source is a V4L2 camera (/root/reference/src/main.rs:32,
+pipeline_ir.rs:21-41).  For a portable framework we add deterministic
+synthetic video (the test/bench workhorse — SURVEY.md §4 "tracker
+integration: synthetic video (moving patterned square)") and file playback,
+with the same iterator interface.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["SyntheticSource", "FileSource", "V4L2Source", "rgb_to_nv12_planes"]
+
+
+def rgb_to_nv12_planes(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Forward BT.601 limited-range RGB -> NV12 planes (Y (H,W), UV
+    (H/2, W/2, 2)).  Chroma is averaged over each 2x2 block (standard 4:2:0
+    downsampling)."""
+    h, w = rgb.shape[:2]
+    r = rgb[..., 0].astype(np.float32)
+    g = rgb[..., 1].astype(np.float32)
+    b = rgb[..., 2].astype(np.float32)
+    y = 16 + (65.738 * r + 129.057 * g + 25.064 * b) / 256
+    u = 128 + (-37.945 * r - 74.494 * g + 112.439 * b) / 256
+    v = 128 + (112.439 * r - 94.154 * g - 18.285 * b) / 256
+    u = u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    v = v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    y = np.clip(np.round(y), 16, 235).astype(np.uint8)
+    uv = np.stack([np.clip(np.round(u), 16, 240),
+                   np.clip(np.round(v), 16, 240)], axis=-1).astype(np.uint8)
+    return y, uv
+
+
+class SyntheticSource:
+    """Deterministic moving-target video.
+
+    A patterned square glides over a smooth textured background along a
+    Lissajous path.  ``bbox_at(i)`` gives the ground-truth box, enabling
+    IoU assertions (the parity harness the reference never had,
+    SURVEY.md §4).
+    """
+
+    def __init__(self, width: int = 640, height: int = 512, fps: int = 60,
+                 obj_size: int = 64, seed: int = 0, fmt: str = "rgb",
+                 speed: float = 2.0):
+        assert fmt in ("rgb", "nv12")
+        self.width = width
+        self.height = height
+        self.fps = fps
+        self.obj_size = obj_size
+        self.fmt = fmt
+        self.speed = speed
+        rng = np.random.default_rng(seed)
+        # Smooth background: coarse noise, bilinear-upsampled.
+        coarse = rng.integers(40, 140, size=(8, 8, 3)).astype(np.float32)
+        ys = np.linspace(0, 7, height)
+        xs = np.linspace(0, 7, width)
+        y0 = np.floor(ys).astype(int)
+        x0 = np.floor(xs).astype(int)
+        fy = (ys - y0)[:, None, None]
+        fx = (xs - x0)[None, :, None]
+        y1 = np.minimum(y0 + 1, 7)
+        x1 = np.minimum(x0 + 1, 7)
+        bg = ((1 - fy) * (1 - fx) * coarse[y0][:, x0]
+              + (1 - fy) * fx * coarse[y0][:, x1]
+              + fy * (1 - fx) * coarse[y1][:, x0]
+              + fy * fx * coarse[y1][:, x1])
+        self.background = np.clip(bg, 0, 255).astype(np.uint8)
+        # Object: smooth, aperiodic, high-saturation patch with a bright
+        # border.  (A periodic checkerboard would alias under correlation —
+        # multiple shifts match equally well.)
+        s = obj_size
+        pc = rng.integers(0, 256, size=(4, 4, 3)).astype(np.float32)
+        pys = np.linspace(0, 3, s)
+        pxs = np.linspace(0, 3, s)
+        py0 = np.floor(pys).astype(int)
+        px0 = np.floor(pxs).astype(int)
+        pfy = (pys - py0)[:, None, None]
+        pfx = (pxs - px0)[None, :, None]
+        py1 = np.minimum(py0 + 1, 3)
+        px1 = np.minimum(px0 + 1, 3)
+        patch = ((1 - pfy) * (1 - pfx) * pc[py0][:, px0]
+                 + (1 - pfy) * pfx * pc[py0][:, px1]
+                 + pfy * (1 - pfx) * pc[py1][:, px0]
+                 + pfy * pfx * pc[py1][:, px1])
+        yy, xx = np.mgrid[0:s, 0:s]
+        border = (yy < 3) | (yy >= s - 3) | (xx < 3) | (xx >= s - 3)
+        patch[border] = (250, 250, 250)
+        self.patch = np.clip(patch, 0, 255).astype(np.uint8)
+
+    def bbox_at(self, i: int) -> Tuple[float, float, float, float]:
+        """Ground-truth (x, y, w, h) at frame ``i``."""
+        s = self.obj_size
+        ax = (self.width - s - 20) / 2
+        ay = (self.height - s - 20) / 2
+        t = i * self.speed / 100.0
+        cx = self.width / 2 + ax * np.sin(1.0 * t)
+        cy = self.height / 2 + ay * np.sin(0.7 * t + 1.0)
+        return (float(cx - s / 2), float(cy - s / 2), float(s), float(s))
+
+    def frame_rgb(self, i: int) -> np.ndarray:
+        img = self.background.copy()
+        x, y, w, h = self.bbox_at(i)
+        xi, yi = int(round(x)), int(round(y))
+        xi = max(0, min(self.width - int(w), xi))
+        yi = max(0, min(self.height - int(h), yi))
+        img[yi:yi + int(h), xi:xi + int(w)] = self.patch
+        return img
+
+    def frame(self, i: int):
+        rgb = self.frame_rgb(i)
+        if self.fmt == "rgb":
+            return rgb
+        return rgb_to_nv12_planes(rgb)
+
+    def __iter__(self) -> Iterator:
+        i = 0
+        while True:
+            yield self.frame(i)
+            i += 1
+
+
+class FileSource:
+    """Plays back a stack of frames from a .npy file.
+
+    RGB: array (N, H, W, 3) uint8.  NV12: ``.npz`` with arrays ``y``
+    (N, H, W) and ``uv`` (N, H/2, W/2, 2).
+    """
+
+    def __init__(self, path: str, fps: int = 60, loop: bool = False):
+        self.fps = fps
+        self.loop = loop
+        if path.endswith(".npz"):
+            data = np.load(path)
+            self._y, self._uv = data["y"], data["uv"]
+            self.fmt = "nv12"
+            self.num_frames = len(self._y)
+            self.height, self.width = self._y.shape[1:3]
+        else:
+            self._frames = np.load(path)
+            self.fmt = "rgb"
+            self.num_frames = len(self._frames)
+            self.height, self.width = self._frames.shape[1:3]
+
+    def frame(self, i: int):
+        if self.loop:
+            i = i % self.num_frames
+        if self.fmt == "rgb":
+            return self._frames[i]
+        return self._y[i], self._uv[i]
+
+    def __iter__(self) -> Iterator:
+        i = 0
+        while self.loop or i < self.num_frames:
+            yield self.frame(i)
+            i += 1
+
+
+class V4L2Source:
+    """Raw V4L2 capture (YUY2), used only when a camera node exists —
+    the reference hard-fails without one (main.rs:34-36); we degrade to the
+    synthetic source instead.  Reads via the kernel's read() interface; no
+    external libraries."""
+
+    def __init__(self, device: str = "/dev/video21", width: int = 640,
+                 height: int = 512, fps: int = 60):
+        if not os.path.exists(device):
+            raise FileNotFoundError(f"Camera not found: {device}")
+        self.device = device
+        self.width = width
+        self.height = height
+        self.fps = fps
+        self.fmt = "yuy2"
+        self._fd: Optional[int] = None
+
+    def open(self):
+        self._fd = os.open(self.device, os.O_RDONLY)
+
+    def frame(self, i: int) -> np.ndarray:
+        if self._fd is None:
+            self.open()
+        n = self.width * self.height * 2
+        data = os.read(self._fd, n)
+        buf = np.frombuffer(data, np.uint8)
+        if buf.size < n:
+            buf = np.pad(buf, (0, n - buf.size))
+        return buf
+
+    def close(self):
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None

@@ -1,0 +1,210 @@
+"""Score / offset / size prediction heads + hanning-penalty decode.
+
+Mirrors the output contract of the OpenCV Zoo VitTrack model the reference
+runs on the NPU (SURVEY.md §2.9): from the encoded search-region feature
+map the model emits
+
+* ``score``   (fs, fs)     — per-cell target-center confidence in [0, 1]
+* ``offset``  (fs, fs, 2)  — sub-cell (dx, dy) of the centre, in [0, 1]
+* ``size``    (fs, fs, 2)  — (w, h) normalised to the crop, in [0, 1]
+
+and the tracker decodes ``argmax(score * hann)`` into a bbox plus a
+confidence used by the session state machine's 0.25 threshold
+(/root/reference/src/tracker_context.rs:93,122).
+
+Two head implementations:
+
+``conv``  — learned convolutional towers (the OSTrack center head shape),
+            run as ``lax.conv`` on the (fs, fs, D) map (MXU-friendly);
+``corr``  — a training-free correlation head: cosine similarity between
+            each search token and the mean central template token.  It
+            exists so the full tracking loop (crop geometry, decode, state
+            carry, session machine) is exercisable and testable end-to-end
+            without trained weights, and doubles as a SiamFC-style baseline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .vit import _trunc_normal
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Conv head
+# ---------------------------------------------------------------------------
+
+def init_head_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    d = cfg.embed_dim
+    chans = [d, d // 2, d // 4, d // 8]
+
+    def tower(key, out_ch):
+        ks = jax.random.split(key, len(chans))
+        layers = []
+        for i in range(len(chans) - 1):
+            layers.append({
+                "kernel": _trunc_normal(ks[i], (3, 3, chans[i], chans[i + 1]), std=0.05),
+                "bias": jnp.zeros((chans[i + 1],)),
+            })
+        layers.append({
+            "kernel": _trunc_normal(ks[-1], (1, 1, chans[-1], out_ch), std=0.05),
+            "bias": jnp.zeros((out_ch,)),
+        })
+        return layers
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {"score": tower(k1, 1), "offset": tower(k2, 2), "size": tower(k3, 2)}
+
+
+def _run_tower(x: jnp.ndarray, layers) -> jnp.ndarray:
+    """x: (B, fs, fs, C).  3x3 SAME convs with ReLU, final 1x1 linear."""
+    for i, layer in enumerate(layers):
+        x = jax.lax.conv_general_dilated(
+            x, layer["kernel"].astype(x.dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype) + layer["bias"].astype(x.dtype)
+        if i < len(layers) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def conv_head(params: Params, feat: jnp.ndarray, cfg: ModelConfig
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """feat: (B, Nx, D) encoded search tokens -> (score, offset, size) maps.
+
+    score (B, fs, fs) in [0,1]; offset (B, fs, fs, 2) in [0,1];
+    size (B, fs, fs, 2) in [0,1].
+    """
+    b = feat.shape[0]
+    fs = cfg.feat_size
+    fmap = feat.reshape(b, fs, fs, cfg.embed_dim)
+    score = jax.nn.sigmoid(_run_tower(fmap, params["score"])[..., 0].astype(jnp.float32))
+    offset = jax.nn.sigmoid(_run_tower(fmap, params["offset"]).astype(jnp.float32))
+    size = jax.nn.sigmoid(_run_tower(fmap, params["size"]).astype(jnp.float32))
+    return score, offset, size
+
+
+# ---------------------------------------------------------------------------
+# Correlation head (training-free)
+# ---------------------------------------------------------------------------
+
+def corr_head(z_tok, x_feat, cfg: ModelConfig
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Training-free SiamFC-style correlation head.
+
+    The *central* template token grid (the object occupies the centre half
+    of the 2x-context template crop) is cross-correlated against the search
+    token map as a conv kernel.  Because template and search crops share
+    the same px-per-cell scale by construction (factor/size ratios match:
+    template 2.0/128 == search 4.0/256), a displacement-aware correlation
+    localises the object *centre* — unlike a per-token max, which peaks
+    wherever any single template patch matches (e.g. on a border).
+
+    Features are centred by the mean search token (removes the DC component
+    that dominates cosine similarity on natural imagery) and L2-normalised
+    per token; the correlation peak is then the mean aligned-cosine, ~1.0
+    on a true match, giving a usable confidence without any training.
+
+    Returns maps with the same contract as :func:`conv_head`; offsets carry
+    sub-cell peak positions from parabolic interpolation (plus the
+    half-cell anchor correction for even kernel sizes), and sizes are
+    zeros — the decoder treats zero size as "carry the previous box size".
+    """
+    b = x_feat.shape[0]
+    tz = cfg.template_feat_size
+    fs = cfg.feat_size
+    d = x_feat.shape[-1]
+    q = tz // 4
+    tc = tz - 2 * q
+
+    zmap = z_tok.astype(jnp.float32).reshape(b, tz, tz, d)[:, q:tz - q, q:tz - q, :]
+    xmap = x_feat.astype(jnp.float32).reshape(b, fs, fs, d)
+
+    mu = xmap.mean(axis=(1, 2), keepdims=True)
+    xc = xmap - mu
+    zc = zmap - mu
+    xc = xc / (jnp.linalg.norm(xc, axis=-1, keepdims=True) + 1e-6)
+    zc = zc / (jnp.linalg.norm(zc, axis=-1, keepdims=True) + 1e-6)
+
+    def corr_one(x, z):
+        out = jax.lax.conv_general_dilated(
+            x[None], z[..., None], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return out[0, ..., 0]
+
+    score = jnp.clip(jax.vmap(corr_one)(xc, zc) / (tc * tc), 0.0, 1.0)
+
+    # XLA 'SAME' padding for an even kernel pads one less on the low side,
+    # so the correlation peak lands half a cell early — fold the correction
+    # into the offset maps.
+    anchor = 0.5 if tc % 2 == 0 else 0.0
+    offset = _parabolic_offsets(score) + anchor
+    size = jnp.zeros((b, fs, fs, 2), jnp.float32)
+    return score, offset, size
+
+
+def _parabolic_offsets(score: jnp.ndarray) -> jnp.ndarray:
+    """Sub-cell peak offsets from a (B, fs, fs) score map.
+
+    Classic 1-D parabolic (three-point) peak interpolation applied
+    separably: ``d = 0.5 * (s+ - s-) / (2*s0 - s- - s+)``, clamped to
+    ±0.5 cells; returns offsets in [0, 1] with 0.5 = cell centre.
+    """
+    pad = jnp.pad(score, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    s0 = score
+    s_l = pad[:, 1:-1, :-2]
+    s_r = pad[:, 1:-1, 2:]
+    s_u = pad[:, :-2, 1:-1]
+    s_d = pad[:, 2:, 1:-1]
+    eps = 1e-6
+    dx = 0.5 * (s_r - s_l) / jnp.maximum(2.0 * s0 - s_l - s_r, eps)
+    dy = 0.5 * (s_d - s_u) / jnp.maximum(2.0 * s0 - s_u - s_d, eps)
+    dx = jnp.clip(dx, -0.5, 0.5)
+    dy = jnp.clip(dy, -0.5, 0.5)
+    return jnp.stack([dx + 0.5, dy + 0.5], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def hanning_2d(fs: int) -> jnp.ndarray:
+    """Separable 2-D hann window, the motion-smoothness penalty applied to
+    the score map before argmax (standard VitTrack/OSTrack decode)."""
+    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(fs) + 1) / (fs + 1))
+    return jnp.outer(w, w)
+
+
+def decode_maps(score: jnp.ndarray, offset: jnp.ndarray, size: jnp.ndarray,
+                hann: jnp.ndarray, prev_size_norm: jnp.ndarray,
+                hann_weight: float = 1.0
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode head maps into (bbox_norm, confidence).
+
+    All inputs unbatched: score (fs, fs), offset/size (fs, fs, 2),
+    ``prev_size_norm`` (2,) — previous (w, h) in crop-normalised units,
+    substituted where the size head predicts 0 (corr mode).
+
+    Returns ``bbox_norm`` = (cx, cy, w, h) in [0,1] crop coordinates and the
+    *penalised* max score (the confidence the session thresholds at 0.25).
+    """
+    fs = score.shape[-1]
+    penalised = score * (1.0 - hann_weight + hann_weight * hann)
+    idx = jnp.argmax(penalised)
+    iy, ix = idx // fs, idx % fs
+    off = offset[iy, ix]
+    sz = size[iy, ix]
+    cx = (ix.astype(jnp.float32) + off[0]) / fs
+    cy = (iy.astype(jnp.float32) + off[1]) / fs
+    wh = jnp.where(sz > 0, sz, prev_size_norm)
+    conf = penalised[iy, ix]
+    return jnp.stack([cx, cy, wh[0], wh[1]]), conf

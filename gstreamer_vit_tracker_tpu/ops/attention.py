@@ -1,0 +1,148 @@
+"""Pallas flash attention for the ViT encoder.
+
+The reference's attention runs inside the opaque RKNN NPU model
+(SURVEY.md §2.9); here it is a first-class TPU kernel.  The tracker's
+sequence is short — template (64) + search (256) = 320 tokens for the
+default config — so a single pass fits easily in VMEM, but the kernel is
+written as a general blocked online-softmax flash attention so it scales to
+larger search regions / batched streams unchanged:
+
+* grid over (batch x heads, query blocks);
+* inner ``fori_loop`` over key blocks with running max / normaliser
+  (the classic flash-attention recurrence), f32 accumulation;
+* tail masking via ``seq_len`` so callers can pad the token count to the
+  128-lane grid without affecting results.
+
+On CPU (tests/CI) the kernel runs in interpret mode automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention", "attention_reference", "multihead_attention"]
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        seq_len: int | None = None) -> jnp.ndarray:
+    """Plain-XLA softmax attention, numerically-trusted reference.
+
+    q, k, v: (..., S, D).  If ``seq_len`` is given, keys/values beyond it
+    are masked out (padded-token support, mirroring the kernel).
+    """
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("...qd,...kd->...qk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if seq_len is not None and seq_len < q.shape[-2]:
+        mask = jnp.arange(s.shape[-1]) < seq_len
+        s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("...qk,...kd->...qd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
+                  block_k: int):
+    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
+    bq, d = q.shape
+    num_kb = k_ref.shape[1] // block_k
+
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """Blocked flash attention over (B, S, D) per-head inputs.
+
+    The caller flattens (batch, heads) into B.  S is padded internally to a
+    multiple of the block sizes; padded keys are masked, padded query rows
+    are dropped before returning.
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    b, s, d = q.shape
+    scale = d ** -0.5
+    s_pad = max(block_q, block_k) * -(-s // max(block_q, block_k))
+    if s_pad != s:
+        pad = [(0, 0), (0, s_pad - s), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    kernel = functools.partial(_flash_kernel, scale=scale, seq_len=s,
+                               block_k=block_k)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, d), q.dtype),
+        grid=(b, s_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :s, :]
+
+
+def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        num_heads: int, use_pallas: bool | None = None) -> jnp.ndarray:
+    """Split (B, S, D_model) into heads, run flash attention, merge.
+
+    ``use_pallas=None`` selects the Pallas kernel on TPU and on CPU runs it
+    in interpret mode only under tests that ask for it — the plain XLA
+    reference is used otherwise (interpret mode is slow).
+    """
+    b, s, dm = q.shape
+    dh = dm // num_heads
+
+    def split(x):
+        return x.reshape(b, s, num_heads, dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        flat = lambda x: x.reshape(b * num_heads, s, dh)
+        out = flash_attention(flat(qh), flat(kh), flat(vh))
+        out = out.reshape(b, num_heads, s, dh)
+    else:
+        out = attention_reference(qh, kh, vh)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, dm)

@@ -1,0 +1,169 @@
+"""Functional tracker core: ``init(frame, bbox) -> TrackState`` and
+``update(TrackState, frame) -> (TrackState, bbox, score)``.
+
+This is the TPU-native re-design of the external ``vit_tracker`` crate's
+``VitTrack::{init, update}`` API observed at
+/root/reference/src/tracker_context.rs:88-94,120-123 (SURVEY.md §2.9).
+Everything between "frame bytes in HBM" and "4-float bbox + score out" is
+one jitted XLA program:
+
+    fused crop/resize/normalise (MXU matmuls)
+      -> patch embed -> joint ViT encode (Pallas flash attention)
+      -> score/offset/size heads -> hanning-penalty decode -> bbox
+
+The update step donates ``TrackState`` so template tokens never leave HBM;
+the host receives only the 4-float bbox and the confidence scalar.
+
+Frames may be RGB (H, W, 3) uint8 or NV12 planes (the production path);
+both adapters share the same core.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..models import heads as heads_mod
+from ..models import vittrack
+from ..ops import preprocess as pp
+from .state import TrackState
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Frame adapters
+# ---------------------------------------------------------------------------
+
+def _prep_rgb(frame, window, out_size: int, cfg: ModelConfig):
+    return pp.preprocess_rgb(frame, window, out_size, cfg.norm_mean, cfg.norm_std)
+
+
+def _prep_nv12(frame, window, out_size: int, cfg: ModelConfig):
+    y_plane, uv_plane = frame
+    return pp.preprocess_nv12(y_plane, uv_plane, window, out_size,
+                              cfg.norm_mean, cfg.norm_std)
+
+
+_PREPS: Dict[str, Callable] = {"rgb": _prep_rgb, "nv12": _prep_nv12}
+
+
+def frame_shape(frame, frame_format: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if frame_format == "rgb":
+        return frame.shape[0], frame.shape[1]
+    return frame[0].shape[0], frame[0].shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Core (unbatched; vmap adds object/stream axes — tracker/multi.py)
+# ---------------------------------------------------------------------------
+
+def init(params: Params, frame, bbox: jnp.ndarray, cfg: ModelConfig,
+         frame_format: str = "rgb") -> TrackState:
+    """Capture the template and start a track.
+
+    ``bbox`` = (x, y, w, h) in frame pixels (float32 or int).  Mirrors
+    ``tracker.init(full_image, bbox)`` (tracker_context.rs:88).
+    """
+    prep = _PREPS[frame_format]
+    bbox = jnp.asarray(bbox, jnp.float32)
+    window = pp.crop_window(bbox, cfg.template_factor)
+    z_img = prep(frame, window, cfg.template_size, cfg)
+    z_tok = vittrack.embed_template(params, z_img[None], cfg)[0]
+    return TrackState(
+        z_tok=z_tok,
+        z_tok_init=z_tok,
+        bbox=bbox,
+        score=jnp.ones((), jnp.float32),
+        frame_idx=jnp.zeros((), jnp.int32),
+    )
+
+
+def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
+           frame_format: str = "rgb",
+           use_pallas: bool | None = None) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+    """Track one frame.  Returns (new_state, bbox_xywh, confidence).
+
+    Mirrors ``tracker.update(full_image) -> TrackResult{bbox, score,
+    success}`` (tracker_context.rs:120-123); "success" is implicit — the
+    returned confidence is always finite and the session machine applies
+    the 0.25 threshold.
+    """
+    prep = _PREPS[frame_format]
+    fh, fw = frame_shape(frame, frame_format)
+
+    window = pp.crop_window(state.bbox, cfg.search_factor)
+    x_img = prep(frame, window, cfg.search_size, cfg)
+    maps = vittrack.forward(params, state.z_tok[None], x_img[None], cfg,
+                            use_pallas=use_pallas)
+
+    hann = heads_mod.hanning_2d(cfg.feat_size)
+    prev_size_norm = state.bbox[2:4] / window.size
+    bbox_norm, conf = heads_mod.decode_maps(
+        maps.score[0], maps.offset[0], maps.size[0], hann, prev_size_norm)
+
+    # Map crop-normalised (cx, cy, w, h) back to frame pixels.
+    origin_x = window.cx - 0.5 * window.size
+    origin_y = window.cy - 0.5 * window.size
+    cx = origin_x + bbox_norm[0] * window.size
+    cy = origin_y + bbox_norm[1] * window.size
+    w = jnp.clip(bbox_norm[2] * window.size, 1.0, fw)
+    h = jnp.clip(bbox_norm[3] * window.size, 1.0, fh)
+    x = jnp.clip(cx - 0.5 * w, 0.0, fw - w)
+    y = jnp.clip(cy - 0.5 * h, 0.0, fh - h)
+    new_bbox = jnp.stack([x, y, w, h])
+
+    new_state = TrackState(
+        z_tok=state.z_tok,
+        z_tok_init=state.z_tok_init,
+        bbox=new_bbox,
+        score=conf,
+        frame_idx=state.frame_idx + 1,
+    )
+
+    if cfg.template_update_enabled:
+        new_state = _maybe_update_template(params, new_state, frame, cfg, prep)
+
+    return new_state, new_bbox, conf
+
+
+def _maybe_update_template(params: Params, state: TrackState, frame,
+                           cfg: ModelConfig, prep) -> TrackState:
+    """Online template update (BASELINE.json config 3): on a confident frame
+    at the configured interval, re-embed the template at the current bbox
+    and blend it with the *initial* template.
+
+    Implemented with masked ``where`` (not ``cond``) so it stays correct
+    under vmap with per-object divergence (SURVEY.md §7 hard part (d));
+    the extra patch-embed is one small matmul.
+    """
+    do = jnp.logical_and(
+        state.score > cfg.template_update_threshold,
+        (state.frame_idx % cfg.template_update_interval) == 0,
+    )
+    window = pp.crop_window(state.bbox, cfg.template_factor)
+    z_img = prep(frame, window, cfg.template_size, cfg)
+    z_new = vittrack.embed_template(params, z_img[None], cfg)[0]
+    blended = (0.5 * state.z_tok_init.astype(jnp.float32)
+               + 0.5 * z_new.astype(jnp.float32)).astype(state.z_tok.dtype)
+    return state._replace(z_tok=jnp.where(do, blended, state.z_tok))
+
+
+# ---------------------------------------------------------------------------
+# Jitted single-object entry points (donated state => HBM-resident carry)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format"))
+def init_jit(params, frame, bbox, cfg: ModelConfig, frame_format: str = "rgb"):
+    return init(params, frame, bbox, cfg, frame_format)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format"),
+                   donate_argnums=(1,))
+def update_jit(params, state: TrackState, frame, cfg: ModelConfig,
+               frame_format: str = "rgb"):
+    return update(params, state, frame, cfg, frame_format)

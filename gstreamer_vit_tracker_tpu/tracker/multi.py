@@ -1,0 +1,110 @@
+"""Batched tracking: multi-object and multi-stream in one jitted step.
+
+The reference is strictly single-object / single-stream — its only data
+parallelism is rayon across image rows (SURVEY.md §2 checklist).  The TPU
+analog is *batch* parallelism (BASELINE.json configs 3-4):
+
+* ``update_objects`` — N targets in ONE shared frame (vmap over state);
+* ``update_streams`` — S independent streams, each with its own frame and
+  M targets, in one batched inference step (vmap over frames and state).
+
+All batched updates donate the state pytree, carry per-slot ``active``
+masks (inactive slots keep their state bit-for-bit — masked ``where``, no
+divergent control flow), and return packed bbox/score arrays so a 16-stream
+step still ships only 16*M*5 floats to the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from . import core
+from .state import TrackState
+
+Params = Dict[str, Any]
+
+
+def _mask_state(new: TrackState, old: TrackState, active: jnp.ndarray) -> TrackState:
+    """Per-slot select: keep ``old`` wherever ``active`` is False."""
+
+    def sel(n, o):
+        a = active.reshape(active.shape + (1,) * (n.ndim - active.ndim))
+        return jnp.where(a, n, o)
+
+    return jax.tree.map(sel, new, old)
+
+
+# ---------------------------------------------------------------------------
+# Multi-object (one frame, N targets)
+# ---------------------------------------------------------------------------
+
+def init_objects(params: Params, frame, bboxes: jnp.ndarray, cfg: ModelConfig,
+                 frame_format: str = "rgb") -> TrackState:
+    """bboxes (N, 4) -> batched TrackState with leading axis N."""
+    fn = functools.partial(core.init, cfg=cfg, frame_format=frame_format)
+    return jax.vmap(fn, in_axes=(None, None, 0))(params, frame, bboxes)
+
+
+def update_objects(params: Params, state: TrackState, frame,
+                   active: jnp.ndarray, cfg: ModelConfig,
+                   frame_format: str = "rgb"
+                   ) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+    """One frame, N targets.  active: (N,) bool.  Returns
+    (state, bboxes (N,4), scores (N,))."""
+    fn = functools.partial(core.update, cfg=cfg, frame_format=frame_format)
+    new_state, bboxes, scores = jax.vmap(fn, in_axes=(None, 0, None))(
+        params, state, frame)
+    new_state = _mask_state(new_state, state, active)
+    bboxes = jnp.where(active[:, None], bboxes, state.bbox)
+    scores = jnp.where(active, scores, state.score)
+    return new_state, bboxes, scores
+
+
+# ---------------------------------------------------------------------------
+# Multi-stream (S frames, M targets each)
+# ---------------------------------------------------------------------------
+
+def init_streams(params: Params, frames, bboxes: jnp.ndarray, cfg: ModelConfig,
+                 frame_format: str = "rgb") -> TrackState:
+    """frames batched on axis 0 (S, ...); bboxes (S, M, 4)."""
+    fn = functools.partial(init_objects, cfg=cfg, frame_format=frame_format)
+    return jax.vmap(fn, in_axes=(None, 0, 0))(params, frames, bboxes)
+
+
+def update_streams(params: Params, state: TrackState, frames,
+                   active: jnp.ndarray, cfg: ModelConfig,
+                   frame_format: str = "rgb"
+                   ) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+    """S streams x M targets in one step.  frames batched on axis 0;
+    active (S, M) bool.  Returns (state, bboxes (S,M,4), scores (S,M))."""
+    fn = functools.partial(core.update, cfg=cfg, frame_format=frame_format)
+    inner = jax.vmap(fn, in_axes=(None, 0, None))        # over objects
+    outer = jax.vmap(inner, in_axes=(None, 0, 0))        # over streams
+    new_state, bboxes, scores = outer(params, state, frames)
+    new_state = _mask_state(new_state, state, active)
+    bboxes = jnp.where(active[..., None], bboxes, state.bbox)
+    scores = jnp.where(active, scores, state.score)
+    return new_state, bboxes, scores
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points (donated state)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format"),
+                   donate_argnums=(1,))
+def update_objects_jit(params, state, frame, active, cfg: ModelConfig,
+                       frame_format: str = "rgb"):
+    return update_objects(params, state, frame, active, cfg, frame_format)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format"),
+                   donate_argnums=(1,))
+def update_streams_jit(params, state, frames, active, cfg: ModelConfig,
+                       frame_format: str = "rgb"):
+    return update_streams(params, state, frames, active, cfg, frame_format)
