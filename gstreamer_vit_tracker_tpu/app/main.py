@@ -1,0 +1,213 @@
+"""Interactive CLI entry point.
+
+TPU-native analog of the reference application (/root/reference/src/main.rs
++ the pad-probe hot loop in pipeline_ir.rs:100-228):
+
+* startup banner and source validation (main.rs:28-40);
+* keyboard thread with raw TTY + mpsc-style command queue (main.rs:48,54);
+* per-frame loop: interval stats -> drain commands -> track -> overlay HUD
+  on device -> sink, with a console print every 60 frames
+  (pipeline_ir.rs:103-220);
+* 'Q' quits, state set to Null -> here: loop exit + sink close
+  (main.rs:58-68).
+
+Model presets:
+  corr-tiny   training-free correlation tracker (works out of the box);
+  vittrack-t  flagship deit-tiny ViT + conv head (needs trained weights via
+              --checkpoint to actually track; random init otherwise).
+
+Run headless (CI/bench): python -m gstreamer_vit_tracker_tpu.app.main \
+    --headless --frames 120 --source synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue as pyqueue
+import sys
+import threading
+import time
+
+import numpy as np
+
+from ..config import AppConfig, ModelConfig
+from ..media.sink import FileSink, NullSink
+from ..media.source import FileSource, SyntheticSource, V4L2Source
+from ..ops import overlay
+from ..session.commands import UserCommand
+from ..session.machine import JaxTrackerBackend, TrackerSession
+from ..utils.timing import TimingStats
+from . import keyboard
+
+PRESETS = {
+    "corr-tiny": ModelConfig(template_size=64, search_size=128, patch_size=8,
+                             embed_dim=64, depth=0, num_heads=2,
+                             head_mode="corr", dtype="float32"),
+    "vittrack-t": ModelConfig(),
+}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="gstreamer_vit_tracker_tpu",
+                                 description="TPU-native ViT tracker")
+    ap.add_argument("--source", default="synthetic",
+                    choices=["synthetic", "file", "v4l2"])
+    ap.add_argument("--input", default="", help="file path for --source file")
+    ap.add_argument("--device", default="/dev/video21",
+                    help="camera node for --source v4l2")
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--fps", type=int, default=60)
+    ap.add_argument("--frames", type=int, default=0,
+                    help="stop after N frames (0 = until Quit)")
+    ap.add_argument("--model", default="corr-tiny", choices=sorted(PRESETS))
+    ap.add_argument("--checkpoint", default="", help="npz weights to load")
+    ap.add_argument("--headless", action="store_true",
+                    help="no keyboard; auto-init on the synthetic target")
+    ap.add_argument("--record", default="", help="write frames to this .npy")
+    ap.add_argument("--no-pace", action="store_true",
+                    help="run as fast as possible (benchmarking)")
+    ap.add_argument("--seed", type=int, default=0)
+    return ap
+
+
+def make_source(args):
+    if args.source == "synthetic":
+        return SyntheticSource(args.width, args.height, fps=args.fps,
+                               seed=args.seed)
+    if args.source == "file":
+        if not args.input:
+            sys.exit("--source file requires --input")
+        return FileSource(args.input, fps=args.fps)
+    return V4L2Source(args.device, args.width, args.height, args.fps)
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    print("==========================================")
+    print("   VitTrack TPU - Interactive Selection")
+    print("==========================================\n")
+
+    import jax
+
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+
+    src = make_source(args)
+    width, height = src.width, src.height
+
+    from ..models import vittrack, weights as weights_mod
+
+    mcfg = PRESETS[args.model]
+    params = vittrack.init_params(jax.random.PRNGKey(args.seed), mcfg)
+    if args.checkpoint:
+        params = weights_mod.load_npz(args.checkpoint, params)
+        print(f"loaded weights: {args.checkpoint}")
+
+    backend = JaxTrackerBackend(params, mcfg, frame_format="rgb")
+    app_cfg = AppConfig()
+    session = TrackerSession(backend, width, height, app_cfg.session)
+    stats = TimingStats(app_cfg.telemetry.window)
+    sink = FileSink(args.record) if args.record else NullSink()
+
+    running = threading.Event()
+    running.set()
+    cmd_q: pyqueue.Queue = pyqueue.Queue()
+    if not args.headless:
+        keyboard.start_keyboard_reader(cmd_q.put, running)
+
+    if args.headless:
+        # Auto-init on the known target (synthetic gt box or centre box).
+        if isinstance(src, SyntheticSource):
+            bbox = tuple(int(v) for v in src.bbox_at(0))
+        else:
+            bbox = (width // 2 - 40, height // 2 - 40, 80, 80)
+        frame0 = src.frame(0)
+        session.tracker.init(frame0, bbox)
+        b, score, ok = session.tracker.update(frame0)
+        session.current_bbox = b
+        session.current_score = score
+        session.state = "tracking"
+        print(f"headless auto-init: bbox={bbox} score={score:.3f}")
+
+    import jax.numpy as jnp
+
+    period = 1.0 / args.fps
+    last_t = None
+    frame_idx = 0
+    t_start = time.perf_counter()
+
+    try:
+        while running.is_set():
+            if args.frames and frame_idx >= args.frames:
+                break
+            now = time.perf_counter()
+            if last_t is not None:
+                stats.add_interval((now - last_t) * 1e6)
+            last_t = now
+
+            # Drain commands non-blockingly (pipeline_ir.rs:115-119).
+            while True:
+                try:
+                    session.handle_command(cmd_q.get_nowait())
+                except pyqueue.Empty:
+                    break
+
+            frame = src.frame(frame_idx)
+
+            t1 = time.perf_counter()
+            bbox = session.process_frame(frame)
+            track_us = (time.perf_counter() - t1) * 1e6
+            stats.add_times(0.0, track_us)
+
+            # HUD overlay on device (pipeline_ir.rs:162-204).
+            state_name = session.state_name()
+            sel = session.selection
+            hud = overlay.HudParams(
+                state_name=state_name,
+                fps=stats.fps(),
+                track_ms=stats.avg_track_ms(),
+                score=session.current_score,
+                is_tracking=state_name == "TRACKING",
+                is_selecting=state_name.startswith("SELECT"),
+                cursor=(sel.cursor_x, sel.cursor_y),
+                sel_start=(sel.start_x, sel.start_y),
+                sel_active=sel.phase.value == "selecting_area",
+                bbox=(bbox if bbox is not None else
+                      (session.current_bbox if state_name == "TRACKING" and
+                       session.current_bbox else (0, 0, 0, 0))),
+                has_bbox=bbox is not None or (
+                    state_name == "TRACKING" and session.current_bbox is not None),
+            )
+            out = overlay.render_hud(jnp.asarray(frame), hud)
+            # Only recording sinks need the pixels on the host; the null
+            # sink keeps the frame on device (no transfer).
+            sink.write(np.asarray(out) if isinstance(sink, FileSink) else out)
+
+            if frame_idx % app_cfg.telemetry.print_every == 0 and frame_idx > 0:
+                print(f"[{state_name}] FPS: {stats.fps():.0f} | "
+                      f"track: {stats.avg_track_ms():.1f}ms | "
+                      f"p50: {stats.p50_track_ms():.1f}ms | "
+                      f"score: {session.current_score * 100:.0f}%")
+
+            frame_idx += 1
+            if not args.no_pace:
+                sleep = period - (time.perf_counter() - now)
+                if sleep > 0:
+                    time.sleep(sleep)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        running.clear()
+        sink.close()
+
+    wall = time.perf_counter() - t_start
+    print(f"\nDone: {frame_idx} frames in {wall:.1f}s "
+          f"({frame_idx / max(wall, 1e-9):.1f} fps), "
+          f"final state {session.state_name()}, "
+          f"avg track {stats.avg_track_ms():.2f}ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

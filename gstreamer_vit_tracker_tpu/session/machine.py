@@ -1,0 +1,227 @@
+"""Tracking-session state machine: Selecting -> Tracking -> Lost.
+
+Faithful port of the reference's TrackerContext
+(/root/reference/src/tracker_context.rs) over a pluggable tracker backend:
+
+* two-phase corner confirm (latch start corner, then init on second
+  confirm, tracker_context.rs:70-112);
+* init is validated by an immediate ``update`` accepted only if
+  ``success && score > 0.25`` (rs:90-98);
+* per-frame tracking publishes bbox+score while ``score > 0.25`` (rs:122),
+  else transitions to Lost;
+* Lost counts frames and auto-resets to selection once the counter
+  *exceeds* 60 — i.e. on its 62nd lost frame (rs:142-152);
+* Cancel resets to selection at any time (rs:53-58); Quit is a no-op at
+  this layer (rs:59).
+
+The backend abstraction lets the machine run against the real JAX tracker
+(single- or multi-object) or deterministic stubs in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Protocol, Tuple
+
+from ..config import SessionConfig
+from .commands import Kind, UserCommand
+from .selection import SelectionPhase, SelectionState
+
+BBox = Tuple[float, float, float, float]
+
+
+class TrackerBackend(Protocol):
+    def init(self, frame: Any, bbox: BBox) -> None: ...
+
+    def update(self, frame: Any) -> Tuple[BBox, float, bool]:
+        """Returns (bbox, score, success)."""
+
+
+@dataclasses.dataclass
+class Lost:
+    frames: int = 0
+
+
+class SessionState:
+    SELECTING = "selecting"
+    TRACKING = "tracking"
+    LOST = "lost"
+
+
+class TrackerSession:
+    """Owns the tracker backend + UI state (TrackerContext analog)."""
+
+    def __init__(self, tracker: TrackerBackend, width: int, height: int,
+                 cfg: SessionConfig = SessionConfig(),
+                 log: Callable[[str], None] = lambda s: print(s + "\r")):
+        self.tracker = tracker
+        self.cfg = cfg
+        self.frame_width = width
+        self.frame_height = height
+        self.state: str = SessionState.SELECTING
+        self.lost = Lost()
+        self.selection = SelectionState.new(width, height, cfg)
+        self.current_bbox: Optional[BBox] = None
+        self.current_score: float = 0.0
+        self.pending_confirm = False
+        self.log = log
+
+    # -- command plane (tracker_context.rs:36-61) --------------------------
+
+    def handle_command(self, cmd: UserCommand) -> None:
+        k = cmd.kind
+        if k == Kind.MOVE_UP:
+            self.selection.move_cursor(0, -1, cmd.fast, self.frame_width,
+                                       self.frame_height)
+        elif k == Kind.MOVE_DOWN:
+            self.selection.move_cursor(0, 1, cmd.fast, self.frame_width,
+                                       self.frame_height)
+        elif k == Kind.MOVE_LEFT:
+            self.selection.move_cursor(-1, 0, cmd.fast, self.frame_width,
+                                       self.frame_height)
+        elif k == Kind.MOVE_RIGHT:
+            self.selection.move_cursor(1, 0, cmd.fast, self.frame_width,
+                                       self.frame_height)
+        elif k == Kind.CONFIRM:
+            self.pending_confirm = True
+        elif k == Kind.CANCEL:
+            self.state = SessionState.SELECTING
+            self.selection = SelectionState.new(self.frame_width,
+                                                self.frame_height, self.cfg)
+            self.current_bbox = None
+            self.log("Reset to selection mode")
+        elif k == Kind.QUIT:
+            pass
+
+    # -- frame plane (tracker_context.rs:64-155) ---------------------------
+
+    def process_frame(self, frame: Any) -> Optional[BBox]:
+        if self.state == SessionState.SELECTING:
+            return self._process_selecting(frame)
+        if self.state == SessionState.TRACKING:
+            return self._process_tracking(frame)
+        return self._process_lost()
+
+    def _process_selecting(self, frame: Any) -> Optional[BBox]:
+        if not self.pending_confirm:
+            return None
+        self.pending_confirm = False
+
+        if self.selection.phase == SelectionPhase.MOVING_TO_START:
+            self.selection.start_x = self.selection.cursor_x
+            self.selection.start_y = self.selection.cursor_y
+            self.selection.phase = SelectionPhase.SELECTING_AREA
+            self.log(f"*** Start point set at ({self.selection.start_x}, "
+                     f"{self.selection.start_y}) ***")
+            self.log("Now move to the SECOND corner and press Enter")
+            return None
+
+        bbox = self.selection.get_bbox(self.cfg.min_bbox)
+        self.log(f"*** Initializing tracker with bbox: x={bbox[0]}, "
+                 f"y={bbox[1]}, w={bbox[2]}, h={bbox[3]} ***")
+        try:
+            self.tracker.init(frame, bbox)
+            result_bbox, score, success = self.tracker.update(frame)
+        except Exception as e:  # tracker error path (rs:105-109)
+            self.log(f"Tracker error: {e!r}")
+            self.selection = SelectionState.new(self.frame_width,
+                                                self.frame_height, self.cfg)
+            return None
+
+        self.log(f"Init result: score={score:.3f}")
+        if success and score > self.cfg.score_threshold:
+            self.current_bbox = result_bbox
+            self.current_score = score
+            self.state = SessionState.TRACKING
+            self.log("*** TRACKING STARTED! ***")
+            return self.current_bbox
+        self.log("Low score - please try selecting a different area")
+        self.selection = SelectionState.new(self.frame_width,
+                                            self.frame_height, self.cfg)
+        return None
+
+    def _process_tracking(self, frame: Any) -> Optional[BBox]:
+        self.pending_confirm = False
+        try:
+            bbox, score, success = self.tracker.update(frame)
+        except Exception:
+            self.log("Tracker error")
+            self.state = SessionState.LOST
+            self.lost = Lost(0)
+            return None
+        if success and score > self.cfg.score_threshold:
+            self.current_bbox = bbox
+            self.current_score = score
+            return bbox
+        self.log(f"Track lost (score={score:.2f})")
+        self.state = SessionState.LOST
+        self.lost = Lost(0)
+        self.current_score = 0.0
+        return None
+
+    def _process_lost(self) -> Optional[BBox]:
+        self.pending_confirm = False
+        if self.lost.frames > self.cfg.lost_frames_max:
+            self.log("Auto-reset to selection mode")
+            self.state = SessionState.SELECTING
+            self.selection = SelectionState.new(self.frame_width,
+                                                self.frame_height, self.cfg)
+            self.current_bbox = None
+        else:
+            self.lost = Lost(self.lost.frames + 1)
+        return None
+
+    # -- status (tracker_context.rs:157-166) -------------------------------
+
+    def state_name(self) -> str:
+        if self.state == SessionState.SELECTING:
+            if self.selection.phase == SelectionPhase.MOVING_TO_START:
+                return "SELECT START"
+            return "SELECT END"
+        if self.state == SessionState.TRACKING:
+            return "TRACKING"
+        return "LOST"
+
+
+class JaxTrackerBackend:
+    """TrackerBackend over the functional JAX core (tracker/core.py).
+
+    Keeps TrackState on device between calls; ships only the 4-float bbox
+    and the score back to the host per update.
+    """
+
+    def __init__(self, params: Dict[str, Any], cfg, frame_format: str = "rgb"):
+        import jax.numpy as jnp
+
+        from ..tracker import core
+
+        self._jnp = jnp
+        self._core = core
+        self.params = params
+        self.cfg = cfg
+        self.frame_format = frame_format
+        self.state = None
+
+    def _to_device(self, frame):
+        jnp = self._jnp
+        if self.frame_format == "rgb":
+            return jnp.asarray(frame)
+        y, uv = frame
+        return (jnp.asarray(y), jnp.asarray(uv))
+
+    def init(self, frame, bbox) -> None:
+        jnp = self._jnp
+        self.state = self._core.init_jit(
+            self.params, self._to_device(frame),
+            jnp.asarray(bbox, jnp.float32), self.cfg, self.frame_format)
+
+    def update(self, frame):
+        if self.state is None:
+            raise RuntimeError("tracker not initialised")
+        import numpy as np
+
+        self.state, packed = self._core.update_packed_jit(
+            self.params, self.state, self._to_device(frame), self.cfg,
+            self.frame_format)
+        vals = np.asarray(packed)   # ONE device->host fetch per frame
+        return tuple(float(v) for v in vals[:4]), float(vals[4]), True

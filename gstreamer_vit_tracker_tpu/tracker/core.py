@@ -167,3 +167,16 @@ def init_jit(params, frame, bbox, cfg: ModelConfig, frame_format: str = "rgb"):
 def update_jit(params, state: TrackState, frame, cfg: ModelConfig,
                frame_format: str = "rgb"):
     return update(params, state, frame, cfg, frame_format)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format"),
+                   donate_argnums=(1,))
+def update_packed_jit(params, state: TrackState, frame, cfg: ModelConfig,
+                      frame_format: str = "rgb"):
+    """Like :func:`update_jit` but returns (state, packed) where ``packed``
+    = [x, y, w, h, score] in ONE device array — a single host fetch per
+    frame.  On remote-attached TPUs every synchronous device->host read is
+    a full round trip, so the 5 scalars the reference reads per frame
+    (bbox + score, tracker_context.rs:120-123) must travel together."""
+    new_state, bbox, conf = update(params, state, frame, cfg, frame_format)
+    return new_state, jnp.concatenate([bbox, conf[None]])
