@@ -1,0 +1,120 @@
+"""Headline benchmark: tracked FPS per chip, 1080p NV12, single-object.
+
+Measures the full per-frame tracking step — fused NV12 crop/resize/
+normalise -> ViT (Pallas flash attention) -> heads -> hanning decode ->
+bbox, with TrackState donated (HBM-resident) — on the flagship vittrack-t
+model over HBM-resident 1080p NV12 frames (the north-star configuration in
+BASELINE.json; input DMA is benchmarked separately by config 5's zero-copy
+path).
+
+Steps are dispatched asynchronously back-to-back (the production serving
+shape: a pipelined feed with bounded in-flight frames, mirroring the
+reference's leaky-queue pipelining, pipeline_ir.rs:75-78) and timed over N
+frames after a compile+warmup pass.  ``vs_baseline`` is value / 500 — the
+reference repo publishes no numbers (BASELINE.md), so the north-star
+target of 500 tracked FPS per v5e chip is the denominator; >= 1.0 means
+target met.
+
+Prints ONE JSON line:
+  {"metric": "tracked_fps_per_chip_1080p_nv12", "value": ..., "unit":
+   "fps", "vs_baseline": ..., ...extras}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--pool", type=int, default=16,
+                    help="distinct HBM-resident frames cycled through")
+    ap.add_argument("--streams", type=int, default=0,
+                    help="also report N-stream batched throughput")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from gstreamer_vit_tracker_tpu.config import ModelConfig
+    from gstreamer_vit_tracker_tpu.models import vittrack
+    from gstreamer_vit_tracker_tpu.tracker import core
+
+    backend = jax.default_backend()
+    cfg = ModelConfig()  # flagship conv-head vittrack-t, bf16
+    params = vittrack.init_params(jax.random.PRNGKey(0), cfg)
+
+    h, w = 1080, 1920
+    rng = np.random.default_rng(0)
+
+    # Pool of HBM-resident NV12 frames (content varies so nothing folds).
+    frames = []
+    for i in range(args.pool):
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        uv = rng.integers(0, 256, (h // 2, w // 2, 2), dtype=np.uint8)
+        frames.append((jnp.asarray(y), jnp.asarray(uv)))
+    jax.block_until_ready(frames[-1])
+
+    bbox0 = jnp.asarray([900.0, 500.0, 120.0, 90.0])
+    state = core.init_jit(params, frames[0], bbox0, cfg, frame_format="nv12")
+
+    # Warmup / compile.
+    state, packed = core.update_packed_jit(params, state, frames[0], cfg,
+                                           frame_format="nv12")
+    jax.block_until_ready(packed)
+
+    # Timed: async chained dispatch, block once at the end.
+    n = args.frames
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, packed = core.update_packed_jit(
+            params, state, frames[i % args.pool], cfg, frame_format="nv12")
+    jax.block_until_ready(packed)
+    wall = time.perf_counter() - t0
+    fps = n / wall
+    p50_ms = 1000.0 * wall / n   # steady-state per-frame step time
+
+    result = {
+        "metric": "tracked_fps_per_chip_1080p_nv12",
+        "value": round(fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(fps / 500.0, 3),
+        "p50_ms": round(p50_ms, 3),
+        "backend": backend,
+        "model": "vittrack-t(192d x12L, bf16, conv head)",
+    }
+
+    if args.streams:
+        from gstreamer_vit_tracker_tpu.tracker import multi
+
+        s = args.streams
+        ys = jnp.stack([frames[i % args.pool][0] for i in range(s)])
+        uvs = jnp.stack([frames[i % args.pool][1] for i in range(s)])
+        bbs = jnp.tile(bbox0[None, None], (s, 1, 1))
+        st = multi.init_streams(params, (ys, uvs), bbs, cfg, "nv12")
+        active = jnp.ones((s, 1), bool)
+        st, bx, sc = multi.update_streams_jit(params, st, (ys, uvs), active,
+                                              cfg, "nv12")
+        jax.block_until_ready(sc)
+        reps = max(1, n // s)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            st, bx, sc = multi.update_streams_jit(params, st, (ys, uvs),
+                                                  active, cfg, "nv12")
+        jax.block_until_ready(sc)
+        swall = time.perf_counter() - t0
+        result["stream_fps_total"] = round(reps * s / swall, 1)
+        result["streams"] = s
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

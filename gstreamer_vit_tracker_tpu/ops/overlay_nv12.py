@@ -1,0 +1,138 @@
+"""Luma-plane overlay primitives (the legacy NV12 pipeline's drawing path).
+
+The reference's legacy 1080p pipeline draws overlays directly into the
+NV12 Y plane (/root/reference/src/nv12_convert.rs:172-343 and
+drawing.rs:5-50) — brightness-only rect/crosshair/text/darken plus the
+luma cursor/dashed-selection variants.  Same mask-based on-device design
+as ops/overlay.py, acting on a (H, W) uint8 luma plane; chroma is left
+untouched exactly like the reference.
+
+Semantics differences vs the RGB variants are preserved deliberately:
+* rect edges are inclusive (``x..=x2``) with coordinate clamping rather
+  than per-pixel discard (nv12_convert.rs:183-212);
+* the luma cursor draws full arms of length 25 *excluding* a ±5 dead zone
+  around the centre (drawing.rs:10-22);
+* background is a multiplicative darken, not a fill (nv12_convert.rs:
+  324-343).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .font import FONT_TABLE, ADVANCE
+
+__all__ = ["draw_rect_luma", "draw_crosshair_luma", "draw_text_luma",
+           "draw_background_luma", "draw_cursor_luma", "draw_selection_luma"]
+
+
+def _grid(h: int, w: int):
+    r = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return r, c
+
+
+def draw_rect_luma(y_plane: jnp.ndarray, x, y, w, h, thickness: int,
+                   brightness: int, enable=True) -> jnp.ndarray:
+    """nv12_convert.rs:172-213: clamped inclusive edges, ``thickness``
+    bands growing inward."""
+    H, W = y_plane.shape
+    r, c = _grid(H, W)
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    w = jnp.asarray(w, jnp.int32)
+    h = jnp.asarray(h, jnp.int32)
+    x1 = jnp.maximum(x, 0)
+    y1 = jnp.maximum(y, 0)
+    x2 = jnp.minimum(x + w, W - 1)
+    y2 = jnp.minimum(y + h, H - 1)
+    t = thickness
+    in_x = (c >= x1) & (c <= x2)
+    in_y = (r >= y1) & (r <= y2)
+    horiz = in_x & (((r >= y1) & (r < y1 + t)) | ((r <= y2) & (r > y2 - t)))
+    vert = in_y & (((c >= x1) & (c < x1 + t)) | ((c <= x2) & (c > x2 - t)))
+    m = (horiz | vert) & jnp.asarray(enable)
+    return jnp.where(m, jnp.asarray(brightness, y_plane.dtype), y_plane)
+
+
+def draw_crosshair_luma(y_plane: jnp.ndarray, cx, cy, size: int,
+                        brightness: int, enable=True) -> jnp.ndarray:
+    """nv12_convert.rs:216-242 (clamped centre, saturating arms)."""
+    H, W = y_plane.shape
+    r, c = _grid(H, W)
+    cx = jnp.maximum(jnp.asarray(cx, jnp.int32), 0)
+    cy = jnp.maximum(jnp.asarray(cy, jnp.int32), 0)
+    m = (((r == cy) & (jnp.abs(c - cx) <= size))
+         | ((c == cx) & (jnp.abs(r - cy) <= size)))
+    m = m & jnp.asarray(enable)
+    return jnp.where(m, jnp.asarray(brightness, y_plane.dtype), y_plane)
+
+
+def draw_cursor_luma(y_plane: jnp.ndarray, cx, cy, enable=True) -> jnp.ndarray:
+    """drawing.rs:5-23: arms to ±25 with a ±5 dead zone, brightness 255."""
+    H, W = y_plane.shape
+    r, c = _grid(H, W)
+    cx = jnp.clip(jnp.asarray(cx, jnp.int32), 0, W - 1)
+    cy = jnp.clip(jnp.asarray(cy, jnp.int32), 0, H - 1)
+    dx = jnp.abs(c - cx)
+    dy = jnp.abs(r - cy)
+    m = (((r == cy) & (dx <= 25) & (dx > 5))
+         | ((c == cx) & (dy <= 25) & (dy > 5)))
+    m = m & jnp.asarray(enable)
+    return jnp.where(m, jnp.asarray(255, y_plane.dtype), y_plane)
+
+
+def draw_selection_luma(y_plane: jnp.ndarray, start_x, start_y, cur_x, cur_y,
+                        enable=True) -> jnp.ndarray:
+    """drawing.rs:25-50: dashed box on luma, period-6 dashes, 255."""
+    H, W = y_plane.shape
+    r, c = _grid(H, W)
+    sx, sy, ux, uy = (jnp.asarray(v, jnp.int32) for v in
+                      (start_x, start_y, cur_x, cur_y))
+    x1 = jnp.maximum(jnp.minimum(sx, ux), 0)
+    y1 = jnp.maximum(jnp.minimum(sy, uy), 0)
+    x2 = jnp.minimum(jnp.maximum(sx, ux), W - 1)
+    y2 = jnp.minimum(jnp.maximum(sy, uy), H - 1)
+    dash_c = (c // 6) % 2 == 0
+    dash_r = (r // 6) % 2 == 0
+    horiz = ((r == y1) | (r == y2)) & (c >= x1) & (c <= x2) & dash_c
+    vert = ((c == x1) | (c == x2)) & (r >= y1) & (r <= y2) & dash_r
+    m = (horiz | vert) & jnp.asarray(enable)
+    return jnp.where(m, jnp.asarray(255, y_plane.dtype), y_plane)
+
+
+def draw_background_luma(y_plane: jnp.ndarray, x: int, y: int, w: int, h: int,
+                         darkness: int, enable=True) -> jnp.ndarray:
+    """nv12_convert.rs:324-343: multiplicative darken,
+    ``y' = y * (255 - darkness) / 255`` (integer semantics)."""
+    H, W = y_plane.shape
+    r, c = _grid(H, W)
+    m = (r >= y) & (r < y + h) & (c >= x) & (c < x + w) & jnp.asarray(enable)
+    factor = 255 - darkness
+    darkened = ((y_plane.astype(jnp.int32) * factor) // 255).astype(y_plane.dtype)
+    return jnp.where(m, darkened, y_plane)
+
+
+def draw_text_luma(y_plane: jnp.ndarray, chars: jnp.ndarray, n_chars,
+                   x: int, y: int, scale: int, brightness: int,
+                   enable=True) -> jnp.ndarray:
+    """nv12_convert.rs:245-321: 5x7 glyphs on the Y plane (static position,
+    dynamic content — same strip technique as ops.overlay.draw_text)."""
+    H, W = y_plane.shape
+    max_len = chars.shape[0]
+    strip_h = min(7 * scale, H - y)
+    strip_w = min(ADVANCE * scale * max_len, W - x)
+    if strip_h <= 0 or strip_w <= 0:
+        return y_plane
+    strip = jax.lax.dynamic_slice(y_plane, (y, x), (strip_h, strip_w))
+    r, c = _grid(strip_h, strip_w)
+    k = c // (ADVANCE * scale)
+    gx = (c % (ADVANCE * scale)) // scale
+    gy = r // scale
+    font = jnp.asarray(FONT_TABLE)
+    lit = (font[chars[k], jnp.minimum(gy, 6), jnp.minimum(gx, 4)] == 1)
+    lit = lit & (gx < 5) & (gy < 7) & (k < jnp.asarray(n_chars, jnp.int32))
+    lit = lit & jnp.asarray(enable)
+    strip = jnp.where(lit, jnp.asarray(brightness, y_plane.dtype), strip)
+    return jax.lax.dynamic_update_slice(y_plane, strip, (y, x))

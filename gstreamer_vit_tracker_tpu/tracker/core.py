@@ -76,7 +76,9 @@ def init(params: Params, frame, bbox: jnp.ndarray, cfg: ModelConfig,
     z_tok = vittrack.embed_template(params, z_img[None], cfg)[0]
     return TrackState(
         z_tok=z_tok,
-        z_tok_init=z_tok,
+        # Distinct buffer (not an alias of z_tok): donated updates would
+        # otherwise donate one buffer twice ("donate(a), donate(a)").
+        z_tok_init=jnp.copy(z_tok),
         bbox=bbox,
         score=jnp.ones((), jnp.float32),
         frame_idx=jnp.zeros((), jnp.int32),

@@ -1,0 +1,77 @@
+"""Train the conv-head VitTrack model on synthetic data and save weights.
+
+Gives the flagship model a trained-weights story end-to-end (the reference
+consumes a pre-trained blob it cannot reproduce; this framework can train
+its own).  Usage:
+
+    python scripts/train_synthetic.py --steps 2000 --batch 32 \
+        --out weights_synthetic.npz [--preset small]
+
+The checkpoint loads into the app with:
+    python -m gstreamer_vit_tracker_tpu.app.main --model <preset> \
+        --checkpoint weights_synthetic.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstreamer_vit_tracker_tpu.config import ModelConfig
+from gstreamer_vit_tracker_tpu.models import vittrack, weights
+from gstreamer_vit_tracker_tpu.train import (create_train_state, data,
+                                             train_step)
+
+PRESETS = {
+    # Small conv-head model trainable in minutes.
+    "small": ModelConfig(template_size=64, search_size=128, patch_size=16,
+                         embed_dim=96, depth=4, num_heads=2, dtype="float32"),
+    "vittrack-t": ModelConfig(),
+}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--preset", default="small", choices=sorted(PRESETS))
+    ap.add_argument("--out", default="weights_synthetic.npz")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    cfg = PRESETS[args.preset]
+    params = vittrack.init_params(jax.random.PRNGKey(args.seed), cfg)
+    print(f"preset {args.preset}: {vittrack.count_params(params):,} params, "
+          f"backend {jax.default_backend()}")
+    state = create_train_state(params, lr=args.lr)
+    it = data.batch_iterator(args.seed, args.batch, cfg)
+
+    t0 = time.perf_counter()
+    for step in range(1, args.steps + 1):
+        z, x, gt = next(it)
+        state, loss, parts = train_step(state, jnp.asarray(z), jnp.asarray(x),
+                                        jnp.asarray(gt), cfg, lr=args.lr)
+        if step % args.log_every == 0 or step == 1:
+            parts = {k: float(v) for k, v in parts.items()}
+            rate = step * args.batch / (time.perf_counter() - t0)
+            print(f"step {step:5d}  loss {float(loss):.4f}  "
+                  f"focal {parts['focal']:.3f} l1o {parts['l1_offset']:.3f} "
+                  f"l1s {parts['l1_size']:.3f} giou {parts['giou']:.3f}  "
+                  f"({rate:.0f} samples/s)")
+
+    weights.save_npz(args.out, jax.device_get(state.params))
+    print(f"saved {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,66 @@
+"""Training subsystem tests: loss sanity + loss decreases on synthetic data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gstreamer_vit_tracker_tpu.config import ModelConfig
+from gstreamer_vit_tracker_tpu.models import vittrack
+from gstreamer_vit_tracker_tpu.train import (create_train_state, data, losses,
+                                             train_step)
+
+TINY = ModelConfig(template_size=32, search_size=64, patch_size=16,
+                   embed_dim=32, depth=1, num_heads=2, dtype="float32")
+
+
+def test_gaussian_target_peak():
+    # Cell centres: (i + 0.5) / 16 — pick exact centres so the peak is 1.0.
+    t = np.asarray(losses.gaussian_target(16, jnp.asarray([7.5 / 16, 3.5 / 16])))
+    iy, ix = np.unravel_index(t.argmax(), t.shape)
+    assert (iy, ix) == (3, 7)
+    assert abs(t.max() - 1.0) < 1e-5
+
+
+def test_focal_loss_prefers_correct_peak():
+    fs = 8
+    target = losses.gaussian_target(fs, jnp.asarray([0.5, 0.5]))
+    good = jnp.clip(target * 0.9 + 0.01, 0, 1)
+    bad = jnp.roll(good, 3, axis=0)
+    assert float(losses.focal_loss(good, target)) < float(
+        losses.focal_loss(bad, target))
+
+
+def test_giou_perfect_box_zero_loss():
+    b = jnp.asarray([0.5, 0.5, 0.2, 0.3])
+    assert float(losses.giou_loss(b, b)) < 1e-5
+    far = jnp.asarray([0.1, 0.1, 0.05, 0.05])
+    assert float(losses.giou_loss(far, b)) > 0.5
+
+
+def test_make_batch_shapes(rng):
+    z, x, gt = data.make_batch(rng, 2, TINY)
+    assert z.shape == (2, 32, 32, 3)
+    assert x.shape == (2, 64, 64, 3)
+    assert gt.shape == (2, 4)
+    assert (gt[:, 2:] > 0).all() and (gt <= 1.5).all()
+
+
+@pytest.mark.slow
+def test_train_step_decreases_loss(rng):
+    params = vittrack.init_params(jax.random.PRNGKey(0), TINY)
+    state = create_train_state(params, lr=1e-3)
+    it = data.batch_iterator(0, 8, TINY)
+    z, x, gt = next(it)
+    z, x, gt = jnp.asarray(z), jnp.asarray(x), jnp.asarray(gt)
+    first = None
+    last = None
+    for i in range(60):
+        state, loss, parts = train_step(state, z, x, gt, TINY, lr=1e-3,
+                                        use_pallas=False)
+        if first is None:
+            first = float(loss)
+        last = float(loss)
+    assert int(state.step) == 60
+    assert last < first * 0.5, f"loss did not decrease: {first} -> {last}"
+    assert np.isfinite(last)
