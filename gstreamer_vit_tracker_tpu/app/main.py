@@ -62,19 +62,25 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="stop after N frames (0 = until Quit)")
     ap.add_argument("--model", default="corr-tiny", choices=sorted(PRESETS))
     ap.add_argument("--checkpoint", default="", help="npz weights to load")
+    ap.add_argument("--format", default="rgb", choices=["rgb", "nv12", "yuy2"],
+                    dest="fmt",
+                    help="frame format: rgb (active-pipeline analog), nv12 "
+                         "(legacy 1080p path, luma HUD), yuy2 (camera format)")
     ap.add_argument("--headless", action="store_true",
                     help="no keyboard; auto-init on the synthetic target")
     ap.add_argument("--record", default="", help="write frames to this .npy")
     ap.add_argument("--no-pace", action="store_true",
                     help="run as fast as possible (benchmarking)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (debugging without a TPU)")
     return ap
 
 
 def make_source(args):
     if args.source == "synthetic":
         return SyntheticSource(args.width, args.height, fps=args.fps,
-                               seed=args.seed)
+                               seed=args.seed, fmt=args.fmt)
     if args.source == "file":
         if not args.input:
             sys.exit("--source file requires --input")
@@ -91,6 +97,8 @@ def main(argv=None) -> int:
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
 
     src = make_source(args)
@@ -104,7 +112,7 @@ def main(argv=None) -> int:
         params = weights_mod.load_npz(args.checkpoint, params)
         print(f"loaded weights: {args.checkpoint}")
 
-    backend = JaxTrackerBackend(params, mcfg, frame_format="rgb")
+    backend = JaxTrackerBackend(params, mcfg, frame_format=args.fmt)
     app_cfg = AppConfig()
     session = TrackerSession(backend, width, height, app_cfg.session)
     stats = TimingStats(app_cfg.telemetry.window)
@@ -179,7 +187,22 @@ def main(argv=None) -> int:
                 has_bbox=bbox is not None or (
                     state_name == "TRACKING" and session.current_bbox is not None),
             )
-            out = overlay.render_hud(jnp.asarray(frame), hud)
+            # HUD target per format (mirrors the reference: the active
+            # pipeline draws on RGB after videoconvert, the legacy one on
+            # the NV12 luma plane).
+            if args.fmt == "rgb":
+                out = overlay.render_hud(jnp.asarray(frame), hud)
+            elif args.fmt == "yuy2":
+                from ..ops import colorspace
+
+                rgb = colorspace.yuy2_to_rgb(
+                    jnp.asarray(frame).reshape(-1), width=width, height=height)
+                out = overlay.render_hud(rgb, hud)
+            else:  # nv12 — draw into the luma plane
+                from ..ops import overlay_nv12
+
+                y_pl, _uv = frame
+                out = overlay_nv12.render_hud_luma(jnp.asarray(y_pl), hud)
             # Only recording sinks need the pixels on the host; the null
             # sink keeps the frame on device (no transfer).
             sink.write(np.asarray(out) if isinstance(sink, FileSink) else out)

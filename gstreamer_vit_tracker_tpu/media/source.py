@@ -14,7 +14,28 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["SyntheticSource", "FileSource", "V4L2Source", "rgb_to_nv12_planes"]
+__all__ = ["SyntheticSource", "FileSource", "V4L2Source",
+           "rgb_to_nv12_planes", "rgb_to_yuy2"]
+
+
+def rgb_to_yuy2(rgb: np.ndarray) -> np.ndarray:
+    """Forward BT.601 RGB -> packed YUY2 rows (H, W*2) uint8; chroma is
+    averaged over horizontal pixel pairs (4:2:2)."""
+    h, w = rgb.shape[:2]
+    r = rgb[..., 0].astype(np.float32)
+    g = rgb[..., 1].astype(np.float32)
+    b = rgb[..., 2].astype(np.float32)
+    y = 16 + (65.738 * r + 129.057 * g + 25.064 * b) / 256
+    u = 128 + (-37.945 * r - 74.494 * g + 112.439 * b) / 256
+    v = 128 + (112.439 * r - 94.154 * g - 18.285 * b) / 256
+    u2 = u.reshape(h, w // 2, 2).mean(axis=-1)
+    v2 = v.reshape(h, w // 2, 2).mean(axis=-1)
+    quads = np.empty((h, w // 2, 4), np.float32)
+    quads[..., 0] = y[:, 0::2]
+    quads[..., 1] = u2
+    quads[..., 2] = y[:, 1::2]
+    quads[..., 3] = v2
+    return np.clip(np.round(quads), 0, 255).astype(np.uint8).reshape(h, w * 2)
 
 
 def rgb_to_nv12_planes(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -48,7 +69,7 @@ class SyntheticSource:
     def __init__(self, width: int = 640, height: int = 512, fps: int = 60,
                  obj_size: int = 64, seed: int = 0, fmt: str = "rgb",
                  speed: float = 2.0):
-        assert fmt in ("rgb", "nv12")
+        assert fmt in ("rgb", "nv12", "yuy2")
         self.width = width
         self.height = height
         self.fps = fps
@@ -116,6 +137,8 @@ class SyntheticSource:
         rgb = self.frame_rgb(i)
         if self.fmt == "rgb":
             return rgb
+        if self.fmt == "yuy2":
+            return rgb_to_yuy2(rgb)
         return rgb_to_nv12_planes(rgb)
 
     def __iter__(self) -> Iterator:

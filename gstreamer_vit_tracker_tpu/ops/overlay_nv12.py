@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from .font import FONT_TABLE, ADVANCE
 
 __all__ = ["draw_rect_luma", "draw_crosshair_luma", "draw_text_luma",
-           "draw_background_luma", "draw_cursor_luma", "draw_selection_luma"]
+           "draw_background_luma", "draw_cursor_luma", "draw_selection_luma",
+           "render_hud_luma"]
 
 
 def _grid(h: int, w: int):
@@ -136,3 +137,49 @@ def draw_text_luma(y_plane: jnp.ndarray, chars: jnp.ndarray, n_chars,
     lit = lit & jnp.asarray(enable)
     strip = jnp.where(lit, jnp.asarray(brightness, y_plane.dtype), strip)
     return jax.lax.dynamic_update_slice(y_plane, strip, (y, x))
+
+
+# ---------------------------------------------------------------------------
+# Full luma HUD (the legacy pipeline's composition, pipeline.rs:125-174)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+
+@_functools.partial(jax.jit, donate_argnums=(0,))
+def _render_hud_luma(y_plane, state_chars, state_n, fps_chars, fps_n,
+                     trk_chars, trk_n, score_chars, score_n, is_tracking,
+                     is_selecting, cursor_x, cursor_y, sel_sx, sel_sy,
+                     sel_active, bbox, has_bbox):
+    y_plane = draw_text_luma(y_plane, state_chars, state_n, 15, 15, 2, 255)
+    y_plane = draw_text_luma(y_plane, fps_chars, fps_n, 15, 40, 2, 255)
+    y_plane = draw_text_luma(y_plane, trk_chars, trk_n, 15, 65, 1, 200)
+    y_plane = draw_text_luma(y_plane, score_chars, score_n, 200, 15, 2, 255,
+                             enable=is_tracking)
+    y_plane = draw_cursor_luma(y_plane, cursor_x, cursor_y,
+                               enable=is_selecting)
+    y_plane = draw_selection_luma(y_plane, sel_sx, sel_sy, cursor_x, cursor_y,
+                                  enable=is_selecting & sel_active)
+    y_plane = draw_rect_luma(y_plane, bbox[0], bbox[1], bbox[2], bbox[3], 3,
+                             255, enable=has_bbox)
+    y_plane = draw_crosshair_luma(y_plane, bbox[0] + bbox[2] // 2,
+                                  bbox[1] + bbox[3] // 2, 15, 255,
+                                  enable=has_bbox)
+    return y_plane
+
+
+def render_hud_luma(y_plane, p):
+    """Composite the full HUD onto an NV12 Y plane in one donated jitted
+    call.  ``p`` is an ops.overlay.HudParams."""
+    return _render_hud_luma(
+        y_plane,
+        jnp.asarray(p.state_chars), p.state_n,
+        jnp.asarray(p.fps_chars), p.fps_n,
+        jnp.asarray(p.trk_chars), p.trk_n,
+        jnp.asarray(p.score_chars), p.score_n,
+        bool(p.is_tracking), bool(p.is_selecting),
+        int(p.cursor[0]), int(p.cursor[1]),
+        int(p.sel_start[0]), int(p.sel_start[1]), bool(p.sel_active),
+        jnp.asarray(p.bbox), bool(p.has_bbox),
+    )

@@ -34,7 +34,7 @@ from .colorspace import rgb_from_shifted_yuv_f32
 from .resample import fold_half_res, sampling_matrix
 
 __all__ = ["CropWindow", "crop_window", "preprocess_rgb", "preprocess_nv12",
-           "normalize"]
+           "preprocess_yuy2", "normalize"]
 
 
 class CropWindow(NamedTuple):
@@ -113,6 +113,41 @@ def preprocess_nv12(y_plane: jnp.ndarray, uv_plane: jnp.ndarray,
     yc = ry @ (y_plane.astype(dtype) - 16.0) @ cxm.T
     uc = ry_uv @ (uv_plane[..., 0].astype(dtype) - 128.0) @ cx_uv.T
     vc = ry_uv @ (uv_plane[..., 1].astype(dtype) - 128.0) @ cx_uv.T
+
+    rgb = rgb_from_shifted_yuv_f32(yc, uc, vc)
+    rgb = jnp.clip(rgb, 0.0, 255.0)
+    return normalize(rgb / 255.0, mean, std)
+
+
+def preprocess_yuy2(yuy2: jnp.ndarray, window: CropWindow, out_size: int,
+                    mean: Sequence[float], std: Sequence[float],
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Fused YUY2 -> normalised RGB model crop.
+
+    YUY2 is the active reference camera format (4:2:2 packed, two pixels
+    per Y0-U-Y1-V quad; pipeline_ir.rs:36-41).  ``yuy2`` is the row-major
+    packed buffer shaped (H, W*2) uint8.  Luma resamples at full
+    resolution; chroma (full vertical, half horizontal resolution)
+    resamples through the column-folded matrix only — the 4:2:2 analog of
+    the NV12 path.
+    """
+    height = yuy2.shape[0]
+    width = yuy2.shape[1] // 2
+    quads = yuy2.reshape(height, width // 2, 4)
+    y_plane = quads[..., (0, 2)].reshape(height, width)
+    u_half = quads[..., 1]           # (H, W/2)
+    v_half = quads[..., 3]
+
+    scale = window.size / out_size
+    ry = sampling_matrix(out_size, height, window.cy - 0.5 * window.size,
+                         scale, dtype)
+    cxm = sampling_matrix(out_size, width, window.cx - 0.5 * window.size,
+                          scale, dtype)
+    cx_uv = fold_half_res(cxm)
+
+    yc = ry @ (y_plane.astype(dtype) - 16.0) @ cxm.T
+    uc = ry @ (u_half.astype(dtype) - 128.0) @ cx_uv.T
+    vc = ry @ (v_half.astype(dtype) - 128.0) @ cx_uv.T
 
     rgb = rgb_from_shifted_yuv_f32(yc, uc, vc)
     rgb = jnp.clip(rgb, 0.0, 255.0)

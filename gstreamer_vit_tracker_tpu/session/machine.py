@@ -204,7 +204,7 @@ class JaxTrackerBackend:
 
     def _to_device(self, frame):
         jnp = self._jnp
-        if self.frame_format == "rgb":
+        if self.frame_format in ("rgb", "yuy2"):
             return jnp.asarray(frame)
         y, uv = frame
         return (jnp.asarray(y), jnp.asarray(uv))

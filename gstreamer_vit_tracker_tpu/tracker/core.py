@@ -49,12 +49,21 @@ def _prep_nv12(frame, window, out_size: int, cfg: ModelConfig):
                               cfg.norm_mean, cfg.norm_std)
 
 
-_PREPS: Dict[str, Callable] = {"rgb": _prep_rgb, "nv12": _prep_nv12}
+def _prep_yuy2(frame, window, out_size: int, cfg: ModelConfig):
+    # frame: (H, W*2) packed YUY2 rows.
+    return pp.preprocess_yuy2(frame, window, out_size, cfg.norm_mean,
+                              cfg.norm_std)
+
+
+_PREPS: Dict[str, Callable] = {"rgb": _prep_rgb, "nv12": _prep_nv12,
+                               "yuy2": _prep_yuy2}
 
 
 def frame_shape(frame, frame_format: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if frame_format == "rgb":
         return frame.shape[0], frame.shape[1]
+    if frame_format == "yuy2":
+        return frame.shape[0], frame.shape[1] // 2
     return frame[0].shape[0], frame[0].shape[1]
 
 
