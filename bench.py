@@ -61,24 +61,42 @@ def main(argv=None) -> int:
         frames.append((jnp.asarray(y), jnp.asarray(uv)))
     jax.block_until_ready(frames[-1])
 
+    from gstreamer_vit_tracker_tpu.tracker import scan
+
+    ys = jnp.stack([f[0] for f in frames])
+    uvs = jnp.stack([f[1] for f in frames])
     bbox0 = jnp.asarray([900.0, 500.0, 120.0, 90.0])
-    state = core.init_jit(params, frames[0], bbox0, cfg, frame_format="nv12")
-
-    # Warmup / compile.
-    state, packed = core.update_packed_jit(params, state, frames[0], cfg,
-                                           frame_format="nv12")
-    jax.block_until_ready(packed)
-
-    # Timed: async chained dispatch, block once at the end.
     n = args.frames
+
+    # --- Headline: on-device throughput.  The whole N-frame sequence runs
+    # as ONE scanned XLA program over the HBM-resident frame pool; state
+    # never leaves HBM, scores return in one fetch.
+    state = core.init_jit(params, frames[0], bbox0, cfg, frame_format="nv12")
+    st2, scores = scan.update_scan_pool(params, state, (ys, uvs), n, cfg,
+                                        frame_format="nv12")
+    np.asarray(scores)   # compile + first run
+    state = core.init_jit(params, frames[0], bbox0, cfg, frame_format="nv12")
     t0 = time.perf_counter()
-    for i in range(n):
-        state, packed = core.update_packed_jit(
-            params, state, frames[i % args.pool], cfg, frame_format="nv12")
-    jax.block_until_ready(packed)
+    st2, scores = scan.update_scan_pool(params, state, (ys, uvs), n, cfg,
+                                        frame_format="nv12")
+    np.asarray(scores)   # real value fetch, not just block_until_ready
     wall = time.perf_counter() - t0
     fps = n / wall
     p50_ms = 1000.0 * wall / n   # steady-state per-frame step time
+
+    # --- Secondary: per-frame Python dispatch loop (interactive shape),
+    # one packed 5-float fetch per frame at the end.
+    state = core.init_jit(params, frames[0], bbox0, cfg, frame_format="nv12")
+    state, packed = core.update_packed_jit(params, state, frames[0], cfg,
+                                           frame_format="nv12")
+    np.asarray(packed)
+    n_loop = min(n, 100)
+    t0 = time.perf_counter()
+    for i in range(n_loop):
+        state, packed = core.update_packed_jit(
+            params, state, frames[i % args.pool], cfg, frame_format="nv12")
+    np.asarray(packed)
+    loop_fps = n_loop / (time.perf_counter() - t0)
 
     result = {
         "metric": "tracked_fps_per_chip_1080p_nv12",
@@ -86,6 +104,7 @@ def main(argv=None) -> int:
         "unit": "fps",
         "vs_baseline": round(fps / 500.0, 3),
         "p50_ms": round(p50_ms, 3),
+        "python_loop_fps": round(loop_fps, 1),
         "backend": backend,
         "model": "vittrack-t(192d x12L, bf16, conv head)",
     }
@@ -101,13 +120,13 @@ def main(argv=None) -> int:
         active = jnp.ones((s, 1), bool)
         st, bx, sc = multi.update_streams_jit(params, st, (ys, uvs), active,
                                               cfg, "nv12")
-        jax.block_until_ready(sc)
+        np.asarray(sc)
         reps = max(1, n // s)
         t0 = time.perf_counter()
         for _ in range(reps):
             st, bx, sc = multi.update_streams_jit(params, st, (ys, uvs),
                                                   active, cfg, "nv12")
-        jax.block_until_ready(sc)
+        np.asarray(sc)
         swall = time.perf_counter() - t0
         result["stream_fps_total"] = round(reps * s / swall, 1)
         result["streams"] = s

@@ -69,6 +69,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--headless", action="store_true",
                     help="no keyboard; auto-init on the synthetic target")
     ap.add_argument("--record", default="", help="write frames to this .npy")
+    ap.add_argument("--display-scale", action="store_true",
+                    help="upscale output frames to the display resolution "
+                         "on device (the reference's rgaconvert hardware "
+                         "scaler stage, pipeline_ir.rs:62-73); rgb format")
     ap.add_argument("--no-pace", action="store_true",
                     help="run as fast as possible (benchmarking)")
     ap.add_argument("--seed", type=int, default=0)
@@ -203,6 +207,11 @@ def main(argv=None) -> int:
 
                 y_pl, _uv = frame
                 out = overlay_nv12.render_hud_luma(jnp.asarray(y_pl), hud)
+            if args.display_scale and args.fmt == "rgb":
+                from ..ops import resample
+
+                out = resample.resize_static(out, app_cfg.display.height,
+                                             app_cfg.display.width)
             # Only recording sinks need the pixels on the host; the null
             # sink keeps the frame on device (no transfer).
             sink.write(np.asarray(out) if isinstance(sink, FileSink) else out)

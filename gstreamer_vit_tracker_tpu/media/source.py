@@ -212,9 +212,46 @@ class V4L2Source:
         buf = np.frombuffer(data, np.uint8)
         if buf.size < n:
             buf = np.pad(buf, (0, n - buf.size))
-        return buf
+        # Packed YUY2 rows, the tracker's "yuy2" frame layout.
+        return buf.reshape(self.height, self.width * 2)
 
     def close(self):
         if self._fd is not None:
             os.close(self._fd)
             self._fd = None
+
+
+class FlakySource:
+    """Fault-injection wrapper: drops, repeats, or corrupts frames.
+
+    The reference has no fault-injection hooks (SURVEY.md §5); this wrapper
+    adds them for resilience testing — the session machine must survive
+    stalled/corrupted input by riding its Lost/auto-reset path rather than
+    crashing.
+    """
+
+    def __init__(self, inner, drop_every: int = 0, corrupt_every: int = 0,
+                 seed: int = 0):
+        self.inner = inner
+        self.drop_every = drop_every
+        self.corrupt_every = corrupt_every
+        self.width = inner.width
+        self.height = inner.height
+        self.fps = getattr(inner, "fps", 60)
+        self.fmt = getattr(inner, "fmt", "rgb")
+        self._rng = np.random.default_rng(seed)
+        self._last = None
+
+    def frame(self, i: int):
+        f = self.inner.frame(i)
+        if self.drop_every and i and i % self.drop_every == 0:
+            # Dropped frame: deliver the previous one again (camera stall).
+            f = self._last if self._last is not None else f
+        elif self.corrupt_every and i and i % self.corrupt_every == 0:
+            if isinstance(f, tuple):
+                y, uv = f
+                f = (self._rng.integers(0, 256, y.shape).astype(np.uint8), uv)
+            else:
+                f = self._rng.integers(0, 256, np.asarray(f).shape).astype(np.uint8)
+        self._last = f
+        return f

@@ -1,0 +1,52 @@
+"""Scan-based sequence tracking matches the per-frame loop exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gstreamer_vit_tracker_tpu.config import ModelConfig
+from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
+from gstreamer_vit_tracker_tpu.models import vittrack
+from gstreamer_vit_tracker_tpu.tracker import core, scan
+
+CORR = ModelConfig(template_size=64, search_size=128, patch_size=8,
+                   embed_dim=64, depth=0, num_heads=2, head_mode="corr",
+                   dtype="float32")
+
+
+def test_scan_matches_loop():
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    src = SyntheticSource(320, 256, obj_size=48, seed=3, speed=3.0)
+    bb0 = jnp.asarray(src.bbox_at(0))
+    frames = jnp.stack([jnp.asarray(src.frame_rgb(i)) for i in range(1, 11)])
+
+    st_loop = core.init(params, jnp.asarray(src.frame_rgb(0)), bb0, CORR)
+    st_scan = jax.tree.map(jnp.copy, st_loop)
+
+    loop_boxes = []
+    for i in range(10):
+        st_loop, bbox, conf = core.update(params, st_loop, frames[i], CORR,
+                                          use_pallas=False)
+        loop_boxes.append(np.asarray(bbox))
+
+    st2, boxes, scores = scan.update_scan(params, st_scan, frames, CORR)
+    np.testing.assert_allclose(np.asarray(boxes), np.stack(loop_boxes),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st2.bbox), np.asarray(st_loop.bbox),
+                               atol=1e-4)
+    assert scores.shape == (10,)
+
+
+def test_scan_nv12_and_pool():
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    src = SyntheticSource(128, 96, obj_size=32, seed=1, fmt="nv12")
+    y0, uv0 = src.frame(0)
+    ys = jnp.stack([jnp.asarray(src.frame(i)[0]) for i in range(4)])
+    uvs = jnp.stack([jnp.asarray(src.frame(i)[1]) for i in range(4)])
+    st = core.init(params, (jnp.asarray(y0), jnp.asarray(uv0)),
+                   jnp.asarray(src.bbox_at(0)), CORR, frame_format="nv12")
+    st2, scores = scan.update_scan_pool(params, st, (ys, uvs), 12, CORR,
+                                        frame_format="nv12")
+    assert scores.shape == (12,)
+    assert np.isfinite(np.asarray(scores)).all()
+    assert int(st2.frame_idx) == 12
