@@ -80,20 +80,64 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+def _single_block_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         seq_len: int):
+    """Whole-sequence-in-VMEM attention: one matmul pair per (batch*head)
+    program, plain softmax (no online recurrence needed).  This is the fast
+    path for tracker-sized sequences (a few hundred tokens) where the
+    blocked loop's per-iteration overhead dominates."""
+    qb = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(qb, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
+
+
+# Sequences up to this many (padded) tokens take the single-block path.
+SINGLE_BLOCK_MAX = 1024
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = 128, block_k: int = 128,
                     interpret: bool | None = None) -> jnp.ndarray:
-    """Blocked flash attention over (B, S, D) per-head inputs.
+    """Flash attention over (B, S, D) per-head inputs.
 
     The caller flattens (batch, heads) into B.  S is padded internally to a
-    multiple of the block sizes; padded keys are masked, padded query rows
-    are dropped before returning.
+    multiple of 128; padded keys are masked, padded query rows are dropped
+    before returning.  Short sequences (<= SINGLE_BLOCK_MAX padded tokens,
+    including the tracker's 320) dispatch to a whole-sequence-in-VMEM
+    kernel; longer ones run the blocked online-softmax recurrence.
     """
     if interpret is None:
         interpret = _use_interpret()
     b, s, d = q.shape
     scale = d ** -0.5
+
+    if -(-s // 128) * 128 <= SINGLE_BLOCK_MAX:
+        s_pad = -(-s // 128) * 128
+        if s_pad != s:
+            pad = [(0, 0), (0, s_pad - s), (0, 0)]
+            q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        out = pl.pallas_call(
+            functools.partial(_single_block_kernel, scale=scale, seq_len=s),
+            out_shape=jax.ShapeDtypeStruct((b, s_pad, d), q.dtype),
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(q, k, v)
+        return out[:, :s, :]
+
     s_pad = max(block_q, block_k) * -(-s // max(block_q, block_k))
     if s_pad != s:
         pad = [(0, 0), (0, s_pad - s), (0, 0)]

@@ -8,7 +8,8 @@ import pytest
 from gstreamer_vit_tracker_tpu.ops import attention
 
 
-@pytest.mark.parametrize("b,s,d", [(2, 128, 64), (1, 320, 64), (3, 200, 32)])
+@pytest.mark.parametrize("b,s,d", [(2, 128, 64), (1, 320, 64), (3, 200, 32),
+                                   (1, 1200, 32)])  # >1024: blocked path
 def test_flash_matches_reference(rng, b, s, d):
     q = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
