@@ -36,7 +36,13 @@ def main(argv=None) -> int:
     ap.add_argument("--pool", type=int, default=16,
                     help="distinct HBM-resident frames cycled through")
     ap.add_argument("--streams", type=int, default=0,
-                    help="also report N-stream batched throughput")
+                    help="also report N-stream batched throughput (config 4)")
+    ap.add_argument("--objects", type=int, default=0,
+                    help="also report N-object single-frame throughput with "
+                         "online template update (config 3)")
+    ap.add_argument("--uhd", action="store_true",
+                    help="also report 4K NV12 + on-device overlay FPS "
+                         "(config 5)")
     args = ap.parse_args(argv)
 
     import jax
@@ -130,6 +136,61 @@ def main(argv=None) -> int:
         swall = time.perf_counter() - t0
         result["stream_fps_total"] = round(reps * s / swall, 1)
         result["streams"] = s
+
+    if args.objects:
+        # Config 3: N targets in one shared 1080p frame, online template
+        # update enabled, one batched step per frame.
+        import dataclasses
+
+        from gstreamer_vit_tracker_tpu.tracker import multi
+
+        mcfg = dataclasses.replace(cfg, template_update_enabled=True)
+        m = args.objects
+        bbs = jnp.asarray(np.tile([900.0, 500.0, 120.0, 90.0], (m, 1))
+                          + np.arange(m)[:, None] * np.asarray([40.0, 20.0, 0, 0]))
+        st = multi.init_objects(params, frames[0], bbs, mcfg, "nv12")
+        active = jnp.ones((m,), bool)
+        st, bx, sc = multi.update_objects_jit(params, st, frames[0], active,
+                                              mcfg, "nv12")
+        np.asarray(sc)
+        reps = max(1, n // m)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            st, bx, sc = multi.update_objects_jit(
+                params, st, frames[i % args.pool], active, mcfg, "nv12")
+        np.asarray(sc)
+        result["object_tracks_per_s"] = round(reps * m / (time.perf_counter() - t0), 1)
+        result["objects"] = m
+
+    if args.uhd:
+        # Config 5: 4K NV12 input, tracking + full on-device HUD composite
+        # on the luma plane; nothing leaves the device but the 5 floats.
+        from gstreamer_vit_tracker_tpu.ops import overlay, overlay_nv12
+
+        h4, w4 = 2160, 3840
+        y4 = jnp.asarray(rng.integers(0, 256, (h4, w4), dtype=np.uint8))
+        uv4 = jnp.asarray(rng.integers(0, 256, (h4 // 2, w4 // 2, 2),
+                                       dtype=np.uint8))
+        st = core.init_jit(params, (y4, uv4), bbox0, cfg, frame_format="nv12")
+        hud = overlay.HudParams("TRACKING", 60.0, 1.0, 0.9, True, False,
+                                (100, 100), (0, 0), False, (900, 500, 120, 90),
+                                True)
+
+        def uhd_step(state, y_img):
+            state, packed = core.update_packed_jit(params, state, (y4, uv4),
+                                                   cfg, frame_format="nv12")
+            y_img = overlay_nv12.render_hud_luma(y_img, hud)
+            return state, packed, y_img
+
+        y_img = jnp.copy(y4)
+        st, packed, y_img = uhd_step(st, y_img)
+        np.asarray(packed)
+        reps = min(n, 100)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            st, packed, y_img = uhd_step(st, y_img)
+        np.asarray(packed)
+        result["uhd_fps"] = round(reps / (time.perf_counter() - t0), 1)
 
     print(json.dumps(result))
     return 0

@@ -36,6 +36,7 @@ from ..media.source import FileSource, SyntheticSource, V4L2Source
 from ..ops import overlay
 from ..session.commands import UserCommand
 from ..session.machine import JaxTrackerBackend, TrackerSession
+from ..utils.profiling import PhaseTimer
 from ..utils.timing import TimingStats
 from . import keyboard
 
@@ -43,6 +44,8 @@ PRESETS = {
     "corr-tiny": ModelConfig(template_size=64, search_size=128, patch_size=8,
                              embed_dim=64, depth=0, num_heads=2,
                              head_mode="corr", dtype="float32"),
+    "small": ModelConfig(template_size=64, search_size=128, patch_size=16,
+                         embed_dim=96, depth=4, num_heads=2, dtype="float32"),
     "vittrack-t": ModelConfig(),
 }
 
@@ -120,6 +123,7 @@ def main(argv=None) -> int:
     app_cfg = AppConfig()
     session = TrackerSession(backend, width, height, app_cfg.session)
     stats = TimingStats(app_cfg.telemetry.window)
+    phases = PhaseTimer()   # map/track/draw micro-breakdown (pipeline_ir.rs:126-208)
     sink = FileSink(args.record) if args.record else NullSink()
 
     running = threading.Event()
@@ -165,10 +169,12 @@ def main(argv=None) -> int:
                 except pyqueue.Empty:
                     break
 
-            frame = src.frame(frame_idx)
+            with phases.phase("map"):
+                frame = src.frame(frame_idx)
 
             t1 = time.perf_counter()
-            bbox = session.process_frame(frame)
+            with phases.phase("track"):
+                bbox = session.process_frame(frame)
             track_us = (time.perf_counter() - t1) * 1e6
             stats.add_times(0.0, track_us)
 
@@ -191,6 +197,7 @@ def main(argv=None) -> int:
                 has_bbox=bbox is not None or (
                     state_name == "TRACKING" and session.current_bbox is not None),
             )
+            t_draw = time.perf_counter()
             # HUD target per format (mirrors the reference: the active
             # pipeline draws on RGB after videoconvert, the legacy one on
             # the NV12 luma plane).
@@ -212,6 +219,9 @@ def main(argv=None) -> int:
 
                 out = resample.resize_static(out, app_cfg.display.height,
                                              app_cfg.display.width)
+            phases.totals["draw"] = phases.totals.get("draw", 0.0) + (
+                time.perf_counter() - t_draw)
+            phases.counts["draw"] = phases.counts.get("draw", 0) + 1
             # Only recording sinks need the pixels on the host; the null
             # sink keeps the frame on device (no transfer).
             sink.write(np.asarray(out) if isinstance(sink, FileSink) else out)
@@ -220,6 +230,8 @@ def main(argv=None) -> int:
                 print(f"[{state_name}] FPS: {stats.fps():.0f} | "
                       f"track: {stats.avg_track_ms():.1f}ms | "
                       f"p50: {stats.p50_track_ms():.1f}ms | "
+                      f"draw: {phases.avg_ms('draw'):.1f}ms | "
+                      f"map: {phases.avg_ms('map'):.1f}ms | "
                       f"score: {session.current_score * 100:.0f}%")
 
             frame_idx += 1

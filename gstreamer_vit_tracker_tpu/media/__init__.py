@@ -3,4 +3,5 @@
 from . import queue, sink, source  # noqa: F401
 from .queue import FrameQueue  # noqa: F401
 from .sink import FileSink, NullSink  # noqa: F401
-from .source import FileSource, SyntheticSource, V4L2Source  # noqa: F401
+from .source import (FileSource, FlakySource, SyntheticSource,  # noqa: F401
+                     V4L2Source)

@@ -1,7 +1,9 @@
 """TPU compute kernels: colorspace, resampling, fused preprocess,
 flash attention, and the on-device overlay compositor."""
 
-from . import colorspace, preprocess, resample  # noqa: F401
+from . import (attention, colorspace, font, overlay, overlay_nv12,  # noqa: F401
+               preprocess, resample)
+from .attention import flash_attention, multihead_attention  # noqa: F401
 
 from .colorspace import (  # noqa: F401
     nv12_to_rgb,

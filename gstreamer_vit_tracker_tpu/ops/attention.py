@@ -104,7 +104,6 @@ def _single_block_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 SINGLE_BLOCK_MAX = 1024
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = 128, block_k: int = 128,
                     interpret: bool | None = None) -> jnp.ndarray:
@@ -115,9 +114,39 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     before returning.  Short sequences (<= SINGLE_BLOCK_MAX padded tokens,
     including the tracker's 320) dispatch to a whole-sequence-in-VMEM
     kernel; longer ones run the blocked online-softmax recurrence.
+
+    Differentiable: the forward runs the Pallas kernel, the backward is the
+    exact attention VJP derived from the XLA reference (custom_vjp — the
+    standard production-kernel pattern; at tracker sequence lengths the
+    full-softmax backward is cheap).
     """
     if interpret is None:
         interpret = _use_interpret()
+    return _flash_diff(q, k, v, (block_q, block_k, interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, opts):
+    return _flash_forward(q, k, v, opts)
+
+
+def _flash_diff_fwd(q, k, v, opts):
+    return _flash_forward(q, k, v, opts), (q, k, v)
+
+
+def _flash_diff_bwd(opts, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(attention_reference, q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   opts) -> jnp.ndarray:
+    block_q, block_k, interpret = opts
     b, s, d = q.shape
     scale = d ** -0.5
 

@@ -25,15 +25,47 @@ def _normalize(img: np.ndarray, cfg: ModelConfig) -> np.ndarray:
 
 def _crop_np(img: np.ndarray, cx: float, cy: float, size: float,
              out: int) -> np.ndarray:
-    """Host-side bilinear square crop with zero padding (training data is
-    produced on host; the device path uses ops.preprocess)."""
-    import jax.numpy as jnp
+    """Host-side bilinear square crop with zero padding — pure numpy
+    (dispatching device ops per training sample would bottleneck the input
+    pipeline), with the same half-pixel-centre geometry as
+    ops.resample.sampling_matrix so train and serve crops match."""
+    h, w = img.shape[:2]
+    scale = size / out
+    sy = (cy - 0.5 * size) + (np.arange(out) + 0.5) * scale - 0.5
+    sx = (cx - 0.5 * size) + (np.arange(out) + 0.5) * scale - 0.5
 
-    win = pp.CropWindow(cx=jnp.float32(cx), cy=jnp.float32(cy),
-                        size=jnp.float32(size))
-    # Reuse the device implementation for bit-identical geometry.
-    return np.asarray(pp.preprocess_rgb(jnp.asarray(img), win, out,
-                                        (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))
+    def axis_weights(s, n):
+        j0 = np.floor(s).astype(np.int64)
+        f = s - j0
+        w0 = np.where((j0 >= 0) & (j0 < n), 1.0 - f, 0.0)
+        w1 = np.where((j0 + 1 >= 0) & (j0 + 1 < n), f, 0.0)
+        return np.clip(j0, 0, n - 1), np.clip(j0 + 1, 0, n - 1), w0, w1
+
+    y0, y1, wy0, wy1 = axis_weights(sy, h)
+    x0, x1, wx0, wx1 = axis_weights(sx, w)
+    imgf = img.astype(np.float32)
+    a = imgf[np.ix_(y0, x0)] * (wy0[:, None] * wx0[None, :])[..., None]
+    b = imgf[np.ix_(y0, x1)] * (wy0[:, None] * wx1[None, :])[..., None]
+    c = imgf[np.ix_(y1, x0)] * (wy1[:, None] * wx0[None, :])[..., None]
+    d = imgf[np.ix_(y1, x1)] * (wy1[:, None] * wx1[None, :])[..., None]
+    return a + b + c + d
+
+
+_SOURCE_POOL: dict = {}
+_SOURCE_POOL_MAX = 256
+
+
+def _pooled_source(seed: int, obj: int) -> SyntheticSource:
+    """Scene construction dominates sample cost; reuse a bounded pool of
+    pre-built scenes (seeds repeat, frames/jitter still vary)."""
+    key = (seed % 16, (obj // 8) * 8)
+    src = _SOURCE_POOL.get(key)
+    if src is None:
+        if len(_SOURCE_POOL) >= _SOURCE_POOL_MAX:
+            _SOURCE_POOL.clear()
+        src = SyntheticSource(320, 256, obj_size=obj, seed=key[0] * 131 + obj)
+        _SOURCE_POOL[key] = src
+    return src
 
 
 def make_batch(rng: np.random.Generator, batch: int, cfg: ModelConfig
@@ -44,7 +76,7 @@ def make_batch(rng: np.random.Generator, batch: int, cfg: ModelConfig
     for _ in range(batch):
         seed = int(rng.integers(0, 2 ** 31))
         obj = int(rng.integers(32, 72))
-        src = SyntheticSource(320, 256, obj_size=obj, seed=seed)
+        src = _pooled_source(seed, obj)
         i = int(rng.integers(0, 200))
         frame = src.frame_rgb(i)
         x, y, w, h = src.bbox_at(i)

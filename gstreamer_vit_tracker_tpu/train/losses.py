@@ -22,13 +22,20 @@ __all__ = ["gaussian_target", "focal_loss", "l1_at_cell", "giou_loss",
 
 def gaussian_target(fs: int, cxy_norm: jnp.ndarray, sigma_cells: float = 1.0
                     ) -> jnp.ndarray:
-    """(fs, fs) gaussian centred at the normalised target centre."""
+    """(fs, fs) gaussian centred at the normalised target centre, with the
+    centre *cell* pinned to exactly 1.0 (CenterNet convention — the focal
+    loss identifies positives as ``target == 1``; without the pin the
+    continuous gaussian peak usually falls between cells and every cell
+    would train as a negative, collapsing the score map)."""
     gx = cxy_norm[0] * fs - 0.5
     gy = cxy_norm[1] * fs - 0.5
     xs = jnp.arange(fs, dtype=jnp.float32)
     dx2 = (xs[None, :] - gx) ** 2
     dy2 = (xs[:, None] - gy) ** 2
-    return jnp.exp(-(dx2 + dy2) / (2.0 * sigma_cells ** 2))
+    t = jnp.exp(-(dx2 + dy2) / (2.0 * sigma_cells ** 2))
+    cx_cell = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, fs - 1)
+    cy_cell = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, fs - 1)
+    return t.at[cy_cell, cx_cell].set(1.0)
 
 
 def focal_loss(score: jnp.ndarray, target: jnp.ndarray,

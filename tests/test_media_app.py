@@ -1,0 +1,70 @@
+"""Media IO round trips and app argparser coverage."""
+
+import numpy as np
+import pytest
+
+from gstreamer_vit_tracker_tpu.app.main import PRESETS, build_argparser
+from gstreamer_vit_tracker_tpu.media.sink import FileSink
+from gstreamer_vit_tracker_tpu.media.source import (FileSource,
+                                                    SyntheticSource,
+                                                    V4L2Source)
+
+
+def test_file_source_rgb_roundtrip(tmp_path):
+    frames = np.random.default_rng(0).integers(0, 256, (5, 32, 48, 3),
+                                               dtype=np.uint8)
+    path = str(tmp_path / "clip.npy")
+    np.save(path, frames)
+    src = FileSource(path)
+    assert (src.num_frames, src.height, src.width) == (5, 32, 48)
+    np.testing.assert_array_equal(src.frame(2), frames[2])
+    assert len(list(iter(src))) == 5
+
+
+def test_file_source_nv12_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 256, (3, 32, 48), dtype=np.uint8)
+    uv = rng.integers(0, 256, (3, 16, 24, 2), dtype=np.uint8)
+    path = str(tmp_path / "clip.npz")
+    np.savez(path, y=y, uv=uv)
+    src = FileSource(path)
+    assert src.fmt == "nv12"
+    fy, fuv = src.frame(1)
+    np.testing.assert_array_equal(fy, y[1])
+    np.testing.assert_array_equal(fuv, uv[1])
+
+
+def test_file_sink_roundtrip(tmp_path):
+    path = str(tmp_path / "out.npy")
+    sink = FileSink(path)
+    for i in range(4):
+        sink.write(np.full((8, 8, 3), i, np.uint8))
+    sink.close()
+    data = np.load(path)
+    assert data.shape == (4, 8, 8, 3)
+    assert data[3, 0, 0, 0] == 3
+
+
+def test_v4l2_missing_device_raises():
+    # main.rs:34-36 hard-fails on a missing camera; the source mirrors that.
+    with pytest.raises(FileNotFoundError):
+        V4L2Source("/dev/video_does_not_exist")
+
+
+def test_synthetic_determinism():
+    a = SyntheticSource(64, 48, obj_size=16, seed=7)
+    b = SyntheticSource(64, 48, obj_size=16, seed=7)
+    np.testing.assert_array_equal(a.frame_rgb(5), b.frame_rgb(5))
+    assert a.bbox_at(9) == b.bbox_at(9)
+
+
+def test_argparser_defaults_and_presets():
+    args = build_argparser().parse_args([])
+    assert args.source == "synthetic"
+    assert args.model in PRESETS
+    assert args.fmt == "rgb"
+    args = build_argparser().parse_args(
+        ["--format", "nv12", "--headless", "--frames", "10", "--cpu"])
+    assert args.fmt == "nv12" and args.headless and args.frames == 10
+    with pytest.raises(SystemExit):
+        build_argparser().parse_args(["--format", "bogus"])
