@@ -176,20 +176,26 @@ def main(argv=None) -> int:
                                 (100, 100), (0, 0), False, (900, 500, 120, 90),
                                 True)
 
-        def uhd_step(state, y_img):
-            state, packed = core.update_packed_jit(params, state, (y4, uv4),
-                                                   cfg, frame_format="nv12")
+        from gstreamer_vit_tracker_tpu.tracker import scan as scan_mod
+
+        ys4 = y4[None]
+        uvs4 = uv4[None]
+        reps = min(n, 200)
+
+        def uhd_run(state, y_img):
+            state, sc = scan_mod.update_scan_pool(params, state, (ys4, uvs4),
+                                                  reps, cfg, "nv12")
             y_img = overlay_nv12.render_hud_luma(y_img, hud)
-            return state, packed, y_img
+            return state, sc, y_img
 
         y_img = jnp.copy(y4)
-        st, packed, y_img = uhd_step(st, y_img)
-        np.asarray(packed)
-        reps = min(n, 100)
+        st, sc, y_img = uhd_run(st, y_img)
+        np.asarray(sc)
+        st = core.init_jit(params, (y4, uv4), bbox0, cfg, frame_format="nv12")
+        y_img = jnp.copy(y4)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            st, packed, y_img = uhd_step(st, y_img)
-        np.asarray(packed)
+        st, sc, y_img = uhd_run(st, y_img)
+        np.asarray(sc)
         result["uhd_fps"] = round(reps / (time.perf_counter() - t0), 1)
 
     print(json.dumps(result))

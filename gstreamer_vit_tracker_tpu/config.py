@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,6 +110,11 @@ class ModelConfig:
     template_update_enabled: bool = False
     template_update_threshold: float = 0.7
     template_update_interval: int = 25
+    # Static band (px) sliced around the crop window before the resample
+    # matmuls — bounds preprocess cost by the band, not the frame size
+    # (ops/preprocess.py::band_origin).  None disables banding; windows
+    # larger than the band fade to zero padding at the fringe.
+    preprocess_band: Optional[int] = 1152
 
     @property
     def feat_size(self) -> int:

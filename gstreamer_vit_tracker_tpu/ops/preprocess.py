@@ -26,8 +26,9 @@ input size.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .colorspace import rgb_from_shifted_yuv_f32
@@ -69,16 +70,46 @@ def normalize(rgb01: jnp.ndarray, mean: Sequence[float],
     return (rgb01 - m) / s
 
 
+def band_origin(window: CropWindow, frame_h: int, frame_w: int,
+                band: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-left corner (row0, col0) of a static ``band`` x ``band`` region
+    centred on the crop window, clamped inside the frame and snapped to
+    even coordinates (NV12 chroma alignment).
+
+    Banding bounds the resample matmuls by the band size instead of the
+    frame size: for a typical search window (a few hundred px) on
+    1080p/4K frames most of the frame-sized matrix work is multiplying
+    zero weights.  Windows larger than the band degrade gracefully — the
+    out-of-band fringe samples as zero padding.
+    """
+    def origin(centre, limit):
+        o = jnp.round(centre - band / 2).astype(jnp.int32)
+        o = jnp.clip(o, 0, max(limit - band, 0))
+        return (o // 2) * 2
+
+    return origin(window.cy, frame_h), origin(window.cx, frame_w)
+
+
 def preprocess_rgb(rgb: jnp.ndarray, window: CropWindow, out_size: int,
                    mean: Sequence[float], std: Sequence[float],
-                   dtype=jnp.float32) -> jnp.ndarray:
+                   dtype=jnp.float32,
+                   band: Optional[int] = None) -> jnp.ndarray:
     """Crop ``window`` from an (H, W, 3) uint8 RGB frame, resize to
     ``out_size`` square, scale to [0,1] and normalise.  Returns float
     (out_size, out_size, 3)."""
     h, w = rgb.shape[0], rgb.shape[1]
+    start_y = window.cy - 0.5 * window.size
+    start_x = window.cx - 0.5 * window.size
+    if band is not None and (h > band or w > band):
+        bh, bw = min(band, h), min(band, w)
+        row0, col0 = band_origin(window, h, w, band)
+        rgb = jax.lax.dynamic_slice(rgb, (row0, col0, 0), (bh, bw, 3))
+        start_y = start_y - row0
+        start_x = start_x - col0
+        h, w = bh, bw
     scale = window.size / out_size
-    ry = sampling_matrix(out_size, h, window.cy - 0.5 * window.size, scale, dtype)
-    cx = sampling_matrix(out_size, w, window.cx - 0.5 * window.size, scale, dtype)
+    ry = sampling_matrix(out_size, h, start_y, scale, dtype)
+    cx = sampling_matrix(out_size, w, start_x, scale, dtype)
     imgf = rgb.astype(dtype)
     tmp = jnp.einsum("oh,hwc->owc", ry, imgf, preferred_element_type=dtype)
     crop = jnp.einsum("pw,owc->opc", cx, tmp, preferred_element_type=dtype)
@@ -88,7 +119,8 @@ def preprocess_rgb(rgb: jnp.ndarray, window: CropWindow, out_size: int,
 def preprocess_nv12(y_plane: jnp.ndarray, uv_plane: jnp.ndarray,
                     window: CropWindow, out_size: int,
                     mean: Sequence[float], std: Sequence[float],
-                    dtype=jnp.float32) -> jnp.ndarray:
+                    dtype=jnp.float32,
+                    band: Optional[int] = None) -> jnp.ndarray:
     """Fused NV12 -> normalised RGB model crop.
 
     ``y_plane``: (H, W) uint8;  ``uv_plane``: (H//2, W//2, 2) uint8 with
@@ -104,9 +136,21 @@ def preprocess_nv12(y_plane: jnp.ndarray, uv_plane: jnp.ndarray,
     full-frame RGB image ever exists.
     """
     h, w = y_plane.shape
+    start_y = window.cy - 0.5 * window.size
+    start_x = window.cx - 0.5 * window.size
+    if band is not None and (h > band or w > band):
+        bh, bw = min(band, h), min(band, w)
+        row0, col0 = band_origin(window, h, w, band)
+        y_plane = jax.lax.dynamic_slice(y_plane, (row0, col0), (bh, bw))
+        uv_plane = jax.lax.dynamic_slice(uv_plane, (row0 // 2, col0 // 2, 0),
+                                         (bh // 2, bw // 2, 2))
+        start_y = start_y - row0
+        start_x = start_x - col0
+        h, w = bh, bw
+
     scale = window.size / out_size
-    ry = sampling_matrix(out_size, h, window.cy - 0.5 * window.size, scale, dtype)
-    cxm = sampling_matrix(out_size, w, window.cx - 0.5 * window.size, scale, dtype)
+    ry = sampling_matrix(out_size, h, start_y, scale, dtype)
+    cxm = sampling_matrix(out_size, w, start_x, scale, dtype)
     ry_uv = fold_half_res(ry)
     cx_uv = fold_half_res(cxm)
 

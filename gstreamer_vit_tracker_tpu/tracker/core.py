@@ -40,13 +40,15 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 def _prep_rgb(frame, window, out_size: int, cfg: ModelConfig):
-    return pp.preprocess_rgb(frame, window, out_size, cfg.norm_mean, cfg.norm_std)
+    return pp.preprocess_rgb(frame, window, out_size, cfg.norm_mean,
+                             cfg.norm_std, band=cfg.preprocess_band)
 
 
 def _prep_nv12(frame, window, out_size: int, cfg: ModelConfig):
     y_plane, uv_plane = frame
     return pp.preprocess_nv12(y_plane, uv_plane, window, out_size,
-                              cfg.norm_mean, cfg.norm_std)
+                              cfg.norm_mean, cfg.norm_std,
+                              band=cfg.preprocess_band)
 
 
 def _prep_yuy2(frame, window, out_size: int, cfg: ModelConfig):

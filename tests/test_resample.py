@@ -150,3 +150,35 @@ def test_preprocess_rgb_shape_and_norm(rng):
                                                (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)))
     assert out.shape == (16, 16, 3)
     assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+
+
+def test_banded_preprocess_matches_unbanded(rng):
+    """Banding is a pure FLOP optimisation: when the window fits inside the
+    band the result must match the full-frame computation."""
+    import jax.numpy as jnp
+
+    from gstreamer_vit_tracker_tpu.ops import preprocess as pp
+
+    h, w = 256, 384
+    coarse = rng.integers(30, 226, size=(8, 12, 3)).astype(np.float64)
+    rgb_src = np.clip(np.round(np.asarray(
+        resample.crop_resize(jnp.asarray(coarse), (0.0, 0.0), (8.0, 12.0), (h, w))
+    )), 0, 255).astype(np.uint8)
+    y_np, uv_np = rgb_to_nv12(rgb_src)
+    y, uv = jnp.asarray(y_np), jnp.asarray(uv_np)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+
+    for bbox in [(180.0, 120.0, 40.0, 30.0),   # interior
+                 (4.0, 4.0, 30.0, 30.0),        # near corner (band clamps)
+                 (350.0, 230.0, 24.0, 24.0)]:   # near far edge
+        win = pp.crop_window(jnp.asarray(bbox), 4.0)
+        full = np.asarray(pp.preprocess_nv12(y, uv, win, 64, mean, std))
+        banded = np.asarray(pp.preprocess_nv12(y, uv, win, 64, mean, std,
+                                               band=192))
+        np.testing.assert_allclose(banded, full, atol=1e-4, err_msg=str(bbox))
+
+        full_rgb = np.asarray(pp.preprocess_rgb(jnp.asarray(rgb_src), win, 64,
+                                                mean, std))
+        banded_rgb = np.asarray(pp.preprocess_rgb(jnp.asarray(rgb_src), win,
+                                                  64, mean, std, band=192))
+        np.testing.assert_allclose(banded_rgb, full_rgb, atol=1e-4)
