@@ -9,9 +9,8 @@ and emits Quit (rs:92-95).
 from __future__ import annotations
 
 import os
-import sys
 import threading
-from typing import Callable, Optional
+from typing import Callable
 
 from ..session.commands import Kind, decode_key
 

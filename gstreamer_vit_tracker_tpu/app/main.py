@@ -34,7 +34,6 @@ from ..config import AppConfig, ModelConfig
 from ..media.sink import FileSink, NullSink
 from ..media.source import FileSource, SyntheticSource, V4L2Source
 from ..ops import overlay
-from ..session.commands import UserCommand
 from ..session.machine import JaxTrackerBackend, TrackerSession
 from ..utils.profiling import PhaseTimer
 from ..utils.timing import TimingStats

@@ -7,7 +7,7 @@ reference drives through ``VitTrack::{new, init, update}``
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..media.source import SyntheticSource
-from ..ops import preprocess as pp
 
 
 def _normalize(img: np.ndarray, cfg: ModelConfig) -> np.ndarray:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import ModelConfig
-from ..models import vit, vittrack
+from ..models import vit
 from ..models.heads import conv_head
 from . import losses
 

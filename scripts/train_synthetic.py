@@ -22,7 +22,6 @@ sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gstreamer_vit_tracker_tpu.config import ModelConfig
 from gstreamer_vit_tracker_tpu.models import vittrack, weights

@@ -3,7 +3,6 @@ input via its Lost/auto-reset path (SURVEY.md §5 — the reference has no
 injection hooks; we add them)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gstreamer_vit_tracker_tpu.config import ModelConfig, SessionConfig

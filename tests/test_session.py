@@ -2,13 +2,10 @@
 20px min bbox / cursor step+clamp / two-phase confirm — the constants the
 reference hard-codes (SURVEY.md §4 "state-machine unit tests")."""
 
-import numpy as np
-import pytest
-
 from gstreamer_vit_tracker_tpu.config import SessionConfig
-from gstreamer_vit_tracker_tpu.session import (
-    Kind, SelectionPhase, SelectionState, SessionState, TrackerSession,
-    UserCommand, decode_key)
+from gstreamer_vit_tracker_tpu.session import (Kind, SelectionState,
+                                               TrackerSession, UserCommand,
+                                               decode_key)
 
 
 class StubTracker:

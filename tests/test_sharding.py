@@ -11,7 +11,7 @@ from gstreamer_vit_tracker_tpu.config import ModelConfig
 from gstreamer_vit_tracker_tpu.models import vittrack
 from gstreamer_vit_tracker_tpu.parallel import (ShardedStreamTracker,
                                                 factor_mesh, make_mesh,
-                                                mesh as mesh_mod, sharding)
+                                                sharding)
 from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
 
 TINY = ModelConfig(template_size=32, search_size=64, patch_size=16,
