@@ -32,8 +32,14 @@ def _flatten(params: Params, prefix: str = "") -> Dict[str, np.ndarray]:
     return flat
 
 
-def save_npz(path: str, params: Params) -> None:
-    np.savez(path, **_flatten(params))
+def save_npz(path: str, params: Params, dtype=None) -> None:
+    """Save a flattened npz; ``dtype`` (e.g. np.float16) downcasts float
+    arrays for compact artifacts (loaders cast back to the model dtype)."""
+    flat = _flatten(params)
+    if dtype is not None:
+        flat = {k: (v.astype(dtype) if np.issubdtype(v.dtype, np.floating)
+                    else v) for k, v in flat.items()}
+    np.savez(path, **flat)
 
 
 def load_npz(path: str, like: Params) -> Params:

@@ -45,6 +45,8 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="weights_synthetic.npz")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--save-fp16", action="store_true",
+                    help="save the checkpoint as float16 (half size)")
     args = ap.parse_args(argv)
 
     cfg = PRESETS[args.preset]
@@ -67,7 +69,10 @@ def main(argv=None) -> int:
                   f"l1s {parts['l1_size']:.3f} giou {parts['giou']:.3f}  "
                   f"({rate:.0f} samples/s)")
 
-    weights.save_npz(args.out, jax.device_get(state.params))
+    import numpy as np
+
+    weights.save_npz(args.out, jax.device_get(state.params),
+                     dtype=np.float16 if args.save_fp16 else None)
     print(f"saved {args.out}")
     return 0
 

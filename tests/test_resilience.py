@@ -56,3 +56,50 @@ def test_session_survives_corrupt_frames():
     assert "LOST" in states, states
     # Machine still alive and in a valid state.
     assert sess.state_name() in ("LOST", "SELECT START", "TRACKING")
+
+
+def test_concurrent_commands_during_tracking():
+    """Race-analog stress (SURVEY.md §5: the reference leans on Rust's
+    type system; we pin thread safety with a stress test): a keyboard
+    thread hammers commands while the frame loop processes — no crashes,
+    no lost-state corruption."""
+    import queue as pyqueue
+    import threading
+
+    from gstreamer_vit_tracker_tpu.session.commands import Kind, UserCommand
+
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    clean = SyntheticSource(320, 256, obj_size=48, seed=3)
+    backend = JaxTrackerBackend(params, CORR)
+    sess = TrackerSession(backend, 320, 256, SessionConfig(),
+                          log=lambda m: None)
+    cmd_q: pyqueue.Queue = pyqueue.Queue()
+    stop = threading.Event()
+
+    def hammer():
+        kinds = [Kind.MOVE_UP, Kind.MOVE_DOWN, Kind.MOVE_LEFT,
+                 Kind.MOVE_RIGHT, Kind.CONFIRM, Kind.CANCEL]
+        i = 0
+        while not stop.is_set():
+            cmd_q.put(UserCommand(kinds[i % len(kinds)], fast=bool(i % 2)))
+            i += 1
+
+    t = threading.Thread(target=hammer, daemon=True)
+    t.start()
+    try:
+        for i in range(30):
+            drained = 0
+            while drained < 200:
+                try:
+                    sess.handle_command(cmd_q.get_nowait())
+                    drained += 1
+                except pyqueue.Empty:
+                    break
+            sess.process_frame(clean.frame_rgb(i))
+            assert 0 <= sess.selection.cursor_x < 320
+            assert 0 <= sess.selection.cursor_y < 256
+            assert sess.state_name() in ("SELECT START", "SELECT END",
+                                         "TRACKING", "LOST")
+    finally:
+        stop.set()
+        t.join(timeout=2)

@@ -50,3 +50,17 @@ def test_scan_nv12_and_pool():
     assert scores.shape == (12,)
     assert np.isfinite(np.asarray(scores)).all()
     assert int(st2.frame_idx) == 12
+
+
+def test_update_packed_matches_unpacked():
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    src = SyntheticSource(320, 256, obj_size=48, seed=3)
+    frame = jnp.asarray(src.frame_rgb(1))
+    bb0 = jnp.asarray(src.bbox_at(0))
+    st_a = core.init(params, jnp.asarray(src.frame_rgb(0)), bb0, CORR)
+    st_b = jax.tree.map(jnp.copy, st_a)
+    _, bbox, conf = core.update_jit(params, st_a, frame, CORR)
+    _, packed = core.update_packed_jit(params, st_b, frame, CORR)
+    packed = np.asarray(packed)
+    np.testing.assert_allclose(packed[:4], np.asarray(bbox), atol=1e-5)
+    np.testing.assert_allclose(packed[4], float(conf), atol=1e-5)
