@@ -55,6 +55,19 @@ def main(argv=None) -> int:
     backend = jax.default_backend()
     cfg = ModelConfig()  # flagship conv-head vittrack-t, bf16
     params = vittrack.init_params(jax.random.PRNGKey(0), cfg)
+    # Use the shipped trained flagship weights when available so crop
+    # windows and decode behave like production (random weights predict
+    # degenerate boxes -> worst-case full-frame windows).
+    import os
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets",
+                        "weights_vittrack_t_synthetic.npz")
+    trained = False
+    if os.path.exists(ckpt):
+        from gstreamer_vit_tracker_tpu.models import weights as weights_mod
+
+        params = weights_mod.load_npz(ckpt, params)
+        trained = True
 
     h, w = 1080, 1920
     rng = np.random.default_rng(0)
@@ -112,7 +125,8 @@ def main(argv=None) -> int:
         "p50_ms": round(p50_ms, 3),
         "python_loop_fps": round(loop_fps, 1),
         "backend": backend,
-        "model": "vittrack-t(192d x12L, bf16, conv head)",
+        "model": "vittrack-t(192d x12L, bf16, conv head)"
+                 + (" trained" if trained else " random-init"),
     }
 
     if args.streams:

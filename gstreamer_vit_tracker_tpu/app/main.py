@@ -83,6 +83,19 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
+def _default_checkpoint(model: str) -> str:
+    """Shipped trained weights for a preset, if present (assets/)."""
+    import os
+
+    names = {"small": "weights_small_synthetic.npz",
+             "vittrack-t": "weights_vittrack_t_synthetic.npz"}
+    if model not in names:
+        return ""
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "assets",
+                        names[model])
+    return path if os.path.exists(path) else ""
+
+
 def make_source(args):
     if args.source == "synthetic":
         return SyntheticSource(args.width, args.height, fps=args.fps,
@@ -114,9 +127,10 @@ def main(argv=None) -> int:
 
     mcfg = PRESETS[args.model]
     params = vittrack.init_params(jax.random.PRNGKey(args.seed), mcfg)
-    if args.checkpoint:
-        params = weights_mod.load_npz(args.checkpoint, params)
-        print(f"loaded weights: {args.checkpoint}")
+    ckpt = args.checkpoint or _default_checkpoint(args.model)
+    if ckpt:
+        params = weights_mod.load_npz(ckpt, params)
+        print(f"loaded weights: {ckpt}")
 
     backend = JaxTrackerBackend(params, mcfg, frame_format=args.fmt)
     app_cfg = AppConfig()

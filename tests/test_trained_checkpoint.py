@@ -49,3 +49,26 @@ def test_trained_conv_model_tracks():
         confs.append(float(conf))
     assert np.mean(ious) > 0.6, f"mean IoU {np.mean(ious):.3f}"
     assert min(confs) > 0.25, f"confidence dipped to {min(confs):.3f}"
+
+
+FLAGSHIP_CKPT = os.path.join(os.path.dirname(__file__), "..", "assets",
+                             "weights_vittrack_t_synthetic.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(FLAGSHIP_CKPT),
+                    reason="flagship checkpoint not present")
+def test_trained_flagship_tracks():
+    cfg = ModelConfig(dtype="float32")   # CPU test: skip bf16 casts
+    params = weights.load_npz(FLAGSHIP_CKPT,
+                              vittrack.init_params(jax.random.PRNGKey(0), cfg))
+    src = SyntheticSource(320, 256, obj_size=56, seed=2, speed=3.0)
+    st = core.init(params, jnp.asarray(src.frame_rgb(0)),
+                   jnp.asarray(src.bbox_at(0)), cfg)
+    upd = jax.jit(lambda p, s, f: core.update(p, s, f, cfg, use_pallas=False))
+    ious, confs = [], []
+    for i in range(1, 21):
+        st, bbox, conf = upd(params, st, jnp.asarray(src.frame_rgb(i)))
+        ious.append(iou(np.asarray(bbox), np.asarray(src.bbox_at(i))))
+        confs.append(float(conf))
+    assert np.mean(ious) > 0.6, f"mean IoU {np.mean(ious):.3f}"
+    assert min(confs) > 0.25
