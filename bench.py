@@ -32,7 +32,7 @@ import numpy as np
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--frames", type=int, default=600)
     ap.add_argument("--pool", type=int, default=16,
                     help="distinct HBM-resident frames cycled through")
     ap.add_argument("--streams", type=int, default=0,
