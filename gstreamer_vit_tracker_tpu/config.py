@@ -110,6 +110,10 @@ class ModelConfig:
     template_update_enabled: bool = False
     template_update_threshold: float = 0.7
     template_update_interval: int = 25
+    # Blend weight kept on the *initial* template during an online update
+    # (the rest goes to the fresh embedding).  1.0 disables adaptation;
+    # 0.0 is a pure re-capture (drift-prone).
+    template_update_anchor: float = 0.35
     # Static band (px) sliced around the crop window before the resample
     # matmuls — bounds preprocess cost by the band, not the frame size
     # (ops/preprocess.py::band_origin).  None disables banding; windows

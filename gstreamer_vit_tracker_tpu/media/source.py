@@ -68,8 +68,11 @@ class SyntheticSource:
 
     def __init__(self, width: int = 640, height: int = 512, fps: int = 60,
                  obj_size: int = 64, seed: int = 0, fmt: str = "rgb",
-                 speed: float = 2.0):
+                 speed: float = 2.0, appearance_drift: float = 0.0):
         assert fmt in ("rgb", "nv12", "yuy2")
+        # appearance_drift > 0 darkens the target over time (tests the
+        # online template update, BASELINE.json config 3).
+        self.appearance_drift = appearance_drift
         self.width = width
         self.height = height
         self.fps = fps
@@ -130,7 +133,11 @@ class SyntheticSource:
         xi, yi = int(round(x)), int(round(y))
         xi = max(0, min(self.width - int(w), xi))
         yi = max(0, min(self.height - int(h), yi))
-        img[yi:yi + int(h), xi:xi + int(w)] = self.patch
+        patch = self.patch
+        if self.appearance_drift:
+            fade = max(0.25, 1.0 - self.appearance_drift * i)
+            patch = (patch.astype(np.float32) * fade).astype(np.uint8)
+        img[yi:yi + int(h), xi:xi + int(w)] = patch
         return img
 
     def frame(self, i: int):

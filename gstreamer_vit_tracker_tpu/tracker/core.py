@@ -39,22 +39,32 @@ Params = Dict[str, Any]
 # Frame adapters
 # ---------------------------------------------------------------------------
 
+def _prep_dtype(cfg: ModelConfig):
+    """Preprocess in the model's compute dtype: bf16 resampling halves the
+    band-buffer traffic and doubles MXU rate; pixel integers (<=255) are
+    exactly representable in bf16 and the bf16-vs-f32 tracking parity is
+    test-pinned (tests/test_parity.py)."""
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
 def _prep_rgb(frame, window, out_size: int, cfg: ModelConfig):
     return pp.preprocess_rgb(frame, window, out_size, cfg.norm_mean,
-                             cfg.norm_std, band=cfg.preprocess_band)
+                             cfg.norm_std, dtype=_prep_dtype(cfg),
+                             band=cfg.preprocess_band)
 
 
 def _prep_nv12(frame, window, out_size: int, cfg: ModelConfig):
     y_plane, uv_plane = frame
     return pp.preprocess_nv12(y_plane, uv_plane, window, out_size,
                               cfg.norm_mean, cfg.norm_std,
+                              dtype=_prep_dtype(cfg),
                               band=cfg.preprocess_band)
 
 
 def _prep_yuy2(frame, window, out_size: int, cfg: ModelConfig):
     # frame: (H, W*2) packed YUY2 rows.
     return pp.preprocess_yuy2(frame, window, out_size, cfg.norm_mean,
-                              cfg.norm_std)
+                              cfg.norm_std, dtype=_prep_dtype(cfg))
 
 
 _PREPS: Dict[str, Callable] = {"rgb": _prep_rgb, "nv12": _prep_nv12,
@@ -161,8 +171,9 @@ def _maybe_update_template(params: Params, state: TrackState, frame,
     window = pp.crop_window(state.bbox, cfg.template_factor)
     z_img = prep(frame, window, cfg.template_size, cfg)
     z_new = vittrack.embed_template(params, z_img[None], cfg)[0]
-    blended = (0.5 * state.z_tok_init.astype(jnp.float32)
-               + 0.5 * z_new.astype(jnp.float32)).astype(state.z_tok.dtype)
+    a = cfg.template_update_anchor
+    blended = (a * state.z_tok_init.astype(jnp.float32)
+               + (1.0 - a) * z_new.astype(jnp.float32)).astype(state.z_tok.dtype)
     return state._replace(z_tok=jnp.where(do, blended, state.z_tok))
 
 
