@@ -12,9 +12,11 @@ TPU-native analog of the reference application (/root/reference/src/main.rs
   (main.rs:58-68).
 
 Model presets:
-  corr-tiny   training-free correlation tracker (works out of the box);
-  vittrack-t  flagship deit-tiny ViT + conv head (needs trained weights via
-              --checkpoint to actually track; random init otherwise).
+  corr-tiny   training-free correlation tracker (works with zero weights);
+  small       4-layer conv-head model (auto-loads the shipped synthetic-
+              trained checkpoint from assets/);
+  vittrack-t  flagship deit-tiny ViT + conv head (auto-loads its shipped
+              checkpoint; override with --checkpoint).
 
 Run headless (CI/bench): python -m gstreamer_vit_tracker_tpu.app.main \
     --headless --frames 120 --source synthetic
@@ -80,6 +82,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debugging without a TPU)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="one-frame-latency pipelining: never block on "
+                         "in-flight device work (higher FPS, bbox lags one "
+                         "frame)")
     return ap
 
 
@@ -132,7 +138,8 @@ def main(argv=None) -> int:
         params = weights_mod.load_npz(ckpt, params)
         print(f"loaded weights: {ckpt}")
 
-    backend = JaxTrackerBackend(params, mcfg, frame_format=args.fmt)
+    backend = JaxTrackerBackend(params, mcfg, frame_format=args.fmt,
+                                pipelined=args.pipelined)
     app_cfg = AppConfig()
     session = TrackerSession(backend, width, height, app_cfg.session)
     stats = TimingStats(app_cfg.telemetry.window)

@@ -73,6 +73,16 @@ def init_vit_params(key: jax.Array, cfg: ModelConfig) -> Params:
 # Forward
 # ---------------------------------------------------------------------------
 
+def cast_params(p: Params, dtype) -> Params:
+    """Cast float params to the compute dtype at use-site (master weights
+    stay f32 in the optimiser).  Without this, ``bf16_x @ f32_w`` silently
+    promotes every matmul back to f32 — the classic JAX mixed-precision
+    trap."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
+
+
 def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-6) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)
@@ -109,12 +119,16 @@ def embed_template(params: Params, z_img: jnp.ndarray, cfg: ModelConfig) -> jnp.
     This is the piece of the forward pass cached across frames in
     ``TrackState`` (the HBM-resident analog of the RKNN tracker's internal
     template cache, SURVEY.md §5 "checkpoint/resume")."""
-    tok = patch_embed(z_img.astype(_cdtype(cfg)), params["patch_embed"], cfg.patch_size)
+    dt = _cdtype(cfg)
+    pe = cast_params(params["patch_embed"], dt)
+    tok = patch_embed(z_img.astype(dt), pe, cfg.patch_size)
     return tok + params["pos_embed_z"].astype(tok.dtype)
 
 
 def embed_search(params: Params, x_img: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
-    tok = patch_embed(x_img.astype(_cdtype(cfg)), params["patch_embed"], cfg.patch_size)
+    dt = _cdtype(cfg)
+    pe = cast_params(params["patch_embed"], dt)
+    tok = patch_embed(x_img.astype(dt), pe, cfg.patch_size)
     return tok + params["pos_embed_x"].astype(tok.dtype)
 
 
@@ -125,9 +139,10 @@ def encode(params: Params, z_tok: jnp.ndarray, x_tok: jnp.ndarray,
     Returns the encoded *search* tokens (B, Nx, D) after the final LN —
     the input to the score/offset/size heads.
     """
-    x = jnp.concatenate([z_tok, x_tok], axis=1)
+    dt = _cdtype(cfg)
+    x = jnp.concatenate([z_tok.astype(dt), x_tok.astype(dt)], axis=1)
     for bp in params["blocks"]:
-        x = _block(x, bp, cfg.num_heads, use_pallas)
+        x = _block(x, cast_params(bp, dt), cfg.num_heads, use_pallas)
     x = layer_norm(x, params["norm"])
     return x[:, z_tok.shape[1]:, :]
 

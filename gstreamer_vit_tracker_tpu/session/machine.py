@@ -188,9 +188,17 @@ class JaxTrackerBackend:
 
     Keeps TrackState on device between calls; ships only the 4-float bbox
     and the score back to the host per update.
+
+    ``pipelined=True`` trades one frame of latency for throughput: each
+    ``update`` dispatches the current frame asynchronously and returns the
+    *previous* frame's result, so the host never blocks on in-flight
+    device work (the TPU analog of the reference's decoupled streaming
+    threads + leaky display queue, pipeline_ir.rs:75-84 — the display
+    there also shows slightly stale overlays when processing lags).
     """
 
-    def __init__(self, params: Dict[str, Any], cfg, frame_format: str = "rgb"):
+    def __init__(self, params: Dict[str, Any], cfg, frame_format: str = "rgb",
+                 pipelined: bool = False):
         import jax.numpy as jnp
 
         from ..tracker import core
@@ -200,6 +208,8 @@ class JaxTrackerBackend:
         self.params = params
         self.cfg = cfg
         self.frame_format = frame_format
+        self.pipelined = pipelined
+        self._pending = None
         self.state = None
 
     def _to_device(self, frame):
@@ -214,6 +224,7 @@ class JaxTrackerBackend:
         self.state = self._core.init_jit(
             self.params, self._to_device(frame),
             jnp.asarray(bbox, jnp.float32), self.cfg, self.frame_format)
+        self._pending = None
 
     def update(self, frame):
         if self.state is None:
@@ -223,5 +234,11 @@ class JaxTrackerBackend:
         self.state, packed = self._core.update_packed_jit(
             self.params, self.state, self._to_device(frame), self.cfg,
             self.frame_format)
-        vals = np.asarray(packed)   # ONE device->host fetch per frame
+        if self.pipelined:
+            prev, self._pending = self._pending, packed
+            if prev is None:          # first frame: no previous result yet
+                prev = packed
+            vals = np.asarray(prev)
+        else:
+            vals = np.asarray(packed)   # ONE device->host fetch per frame
         return tuple(float(v) for v in vals[:4]), float(vals[4]), True

@@ -53,16 +53,22 @@ def _crop_np(img: np.ndarray, cx: float, cy: float, size: float,
 _SOURCE_POOL: dict = {}
 _SOURCE_POOL_MAX = 256
 
+# Scene-size diversity: targets near the edges of a large frame see much
+# more zero padding in their search windows than on a small frame; training
+# over several scene scales keeps the heads calibrated at the borders.
+_SCENE_SIZES = ((320, 256), (640, 512), (480, 384))
+
 
 def _pooled_source(seed: int, obj: int) -> SyntheticSource:
     """Scene construction dominates sample cost; reuse a bounded pool of
     pre-built scenes (seeds repeat, frames/jitter still vary)."""
-    key = (seed % 16, (obj // 8) * 8)
+    w, h = _SCENE_SIZES[seed % len(_SCENE_SIZES)]
+    key = (seed % 16, (obj // 8) * 8, w)
     src = _SOURCE_POOL.get(key)
     if src is None:
         if len(_SOURCE_POOL) >= _SOURCE_POOL_MAX:
             _SOURCE_POOL.clear()
-        src = SyntheticSource(320, 256, obj_size=obj, seed=key[0] * 131 + obj)
+        src = SyntheticSource(w, h, obj_size=obj, seed=key[0] * 131 + obj)
         _SOURCE_POOL[key] = src
     return src
 

@@ -64,3 +64,26 @@ def test_update_packed_matches_unpacked():
     packed = np.asarray(packed)
     np.testing.assert_allclose(packed[:4], np.asarray(bbox), atol=1e-5)
     np.testing.assert_allclose(packed[4], float(conf), atol=1e-5)
+
+
+def test_pipelined_backend_lags_one_frame():
+    from gstreamer_vit_tracker_tpu.session.machine import JaxTrackerBackend
+
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    src = SyntheticSource(320, 256, obj_size=48, seed=3, speed=3.0)
+    bb0 = tuple(float(v) for v in src.bbox_at(0))
+
+    serial = JaxTrackerBackend(params, CORR)
+    piped = JaxTrackerBackend(params, CORR, pipelined=True)
+    serial.init(src.frame_rgb(0), bb0)
+    piped.init(src.frame_rgb(0), bb0)
+
+    serial_results = [serial.update(src.frame_rgb(i)) for i in range(1, 6)]
+    piped_results = [piped.update(src.frame_rgb(i)) for i in range(1, 6)]
+
+    # Pipelined frame 1 returns its own (first) result, then lags by one.
+    np.testing.assert_allclose(piped_results[0][0], serial_results[0][0],
+                               atol=1e-4)
+    for k in range(1, 5):
+        np.testing.assert_allclose(piped_results[k][0],
+                                   serial_results[k - 1][0], atol=1e-4)
