@@ -63,14 +63,18 @@ def init_head_params(key: jax.Array, cfg: ModelConfig) -> Params:
 
 
 def _run_tower(x: jnp.ndarray, layers) -> jnp.ndarray:
-    """x: (B, fs, fs, C).  3x3 SAME convs with ReLU, final 1x1 linear."""
+    """x: (B, fs, fs, C).  3x3 SAME convs with ReLU, final 1x1 linear.
+
+    Operands share the compute dtype and the output dtype follows them
+    (no ``preferred_element_type`` override: its transpose rule would mix
+    a f32 cotangent with bf16 operands and fail under autodiff; TPU convs
+    accumulate in f32 internally regardless)."""
     for i, layer in enumerate(layers):
         x = jax.lax.conv_general_dilated(
             x, layer["kernel"].astype(x.dtype),
             window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype) + layer["bias"].astype(x.dtype)
+        ) + layer["bias"].astype(x.dtype)
         if i < len(layers) - 1:
             x = jax.nn.relu(x)
     return x

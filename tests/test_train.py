@@ -64,3 +64,20 @@ def test_train_step_decreases_loss(rng):
     assert int(state.step) == 60
     assert last < first * 0.5, f"loss did not decrease: {first} -> {last}"
     assert np.isfinite(last)
+
+
+def test_train_step_bf16_model(rng):
+    """Training must differentiate cleanly through the true-bf16 compute
+    path (params cast at use; conv head without dtype-mixing transpose)."""
+    import dataclasses
+
+    cfg16 = dataclasses.replace(TINY, dtype="bfloat16")
+    params = vittrack.init_params(jax.random.PRNGKey(0), cfg16)
+    state = create_train_state(params, lr=1e-3)
+    z, x, gt = data.make_batch(rng, 4, cfg16)
+    state, loss, parts = train_step(state, jnp.asarray(z), jnp.asarray(x),
+                                    jnp.asarray(gt), cfg16, lr=1e-3,
+                                    use_pallas=False)
+    assert np.isfinite(float(loss))
+    # Master weights stay f32.
+    assert state.params["backbone"]["patch_embed"]["kernel"].dtype == jnp.float32
