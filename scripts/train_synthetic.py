@@ -15,6 +15,7 @@ The checkpoint loads into the app with:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 import time
 
@@ -49,7 +50,11 @@ def main(argv=None) -> int:
                     help="save the checkpoint as float16 (half size)")
     args = ap.parse_args(argv)
 
-    cfg = PRESETS[args.preset]
+    # Train in f32 regardless of the serving dtype: bf16 training of these
+    # small models from scratch converges measurably worse (observed: final
+    # loss 0.13 vs 0.08 and tracking IoU 0.46 vs 0.89), while bf16
+    # *inference* of f32-trained weights is loss-free (tests/test_parity.py).
+    cfg = dataclasses.replace(PRESETS[args.preset], dtype="float32")
     params = vittrack.init_params(jax.random.PRNGKey(args.seed), cfg)
     print(f"preset {args.preset}: {vittrack.count_params(params):,} params, "
           f"backend {jax.default_backend()}")
