@@ -80,6 +80,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--no-pace", action="store_true",
                     help="run as fast as possible (benchmarking)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speed", type=float, default=2.0,
+                    help="synthetic target speed (0 = static)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debugging without a TPU)")
     ap.add_argument("--pipelined", action="store_true",
@@ -105,7 +107,7 @@ def _default_checkpoint(model: str) -> str:
 def make_source(args):
     if args.source == "synthetic":
         return SyntheticSource(args.width, args.height, fps=args.fps,
-                               seed=args.seed, fmt=args.fmt)
+                               seed=args.seed, fmt=args.fmt, speed=args.speed)
     if args.source == "file":
         if not args.input:
             sys.exit("--source file requires --input")
@@ -245,6 +247,11 @@ def main(argv=None) -> int:
             # Only recording sinks need the pixels on the host; the null
             # sink keeps the frame on device (no transfer).
             sink.write(np.asarray(out) if isinstance(sink, FileSink) else out)
+            # Bound in-flight device work (the reference's leaky queue caps
+            # buffers at 3, pipeline_ir.rs:75-78): an unpaced loop can
+            # otherwise flood the dispatch queue and starve later compiles.
+            if frame_idx % app_cfg.queue.max_buffers == 0:
+                jax.block_until_ready(out)
 
             if frame_idx % app_cfg.telemetry.print_every == 0 and frame_idx > 0:
                 print(f"[{state_name}] FPS: {stats.fps():.0f} | "
