@@ -127,17 +127,27 @@ class SyntheticSource:
         cy = self.height / 2 + ay * np.sin(0.7 * t + 1.0)
         return (float(cx - s / 2), float(cy - s / 2), float(s), float(s))
 
-    def frame_rgb(self, i: int) -> np.ndarray:
+    def frame_rgb_at(self, x: float, y: float, i: int = 0
+                     ) -> Tuple[np.ndarray, Tuple[float, float, float, float]]:
+        """Render the scene with the target at an arbitrary top-left
+        (clamped inside the frame); returns (frame, actual bbox).  Used by
+        the training data generator to place targets hard against frame
+        borders — the zero-padding regime the Lissajous path rarely
+        reaches (round-2 long-horizon robustness work)."""
         img = self.background.copy()
-        x, y, w, h = self.bbox_at(i)
-        xi, yi = int(round(x)), int(round(y))
-        xi = max(0, min(self.width - int(w), xi))
-        yi = max(0, min(self.height - int(h), yi))
+        w = h = self.obj_size
+        xi = max(0, min(self.width - w, int(round(x))))
+        yi = max(0, min(self.height - h, int(round(y))))
         patch = self.patch
         if self.appearance_drift:
             fade = max(0.25, 1.0 - self.appearance_drift * i)
             patch = (patch.astype(np.float32) * fade).astype(np.uint8)
-        img[yi:yi + int(h), xi:xi + int(w)] = patch
+        img[yi:yi + h, xi:xi + w] = patch
+        return img, (float(xi), float(yi), float(w), float(h))
+
+    def frame_rgb(self, i: int) -> np.ndarray:
+        x, y, _, _ = self.bbox_at(i)
+        img, _ = self.frame_rgb_at(x, y, i)
         return img
 
     def frame(self, i: int):

@@ -56,7 +56,10 @@ _SOURCE_POOL_MAX = 256
 # Scene-size diversity: targets near the edges of a large frame see much
 # more zero padding in their search windows than on a small frame; training
 # over several scene scales keeps the heads calibrated at the borders.
-_SCENE_SIZES = ((320, 256), (640, 512), (480, 384))
+# Weighted list — small scenes are cheap and frequent, 1080p rarer (frame
+# copies are ~6 MB each on the 1-core host).
+_SCENE_SIZES = ((320, 256), (640, 512), (480, 384), (960, 768),
+                (320, 256), (640, 512), (480, 384), (1920, 1080))
 
 
 def _pooled_source(seed: int, obj: int) -> SyntheticSource:
@@ -73,39 +76,92 @@ def _pooled_source(seed: int, obj: int) -> SyntheticSource:
     return src
 
 
-def make_batch(rng: np.random.Generator, batch: int, cfg: ModelConfig
+def _border_position(rng: np.random.Generator, span: int, obj: int) -> float:
+    """Top-left coordinate hugging one border of a ``span``-wide axis:
+    within half an object of the edge, so the search window (4x the object)
+    is dominated by zero padding on that side."""
+    off = rng.integers(0, max(obj // 2, 1))
+    return float(off if rng.random() < 0.5 else span - obj - off)
+
+
+def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
+               border_frac: float = 0.4
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One (template u8, search u8, gt) training triple.
+
+    With probability ``border_frac`` the target is placed hard against a
+    frame border/corner instead of on the Lissajous path — the regime where
+    the round-1 checkpoint lost targets (search windows there are heavily
+    zero-padded, and the padding fraction grows with scene size).
+    """
+    seed = int(rng.integers(0, 2 ** 31))
+    obj = int(rng.integers(32, 72))
+    src = _pooled_source(seed, obj)
+    if rng.random() < border_frac:
+        # Border sample: at least one axis pinned to an edge.
+        axes = rng.integers(0, 3)  # 0: x edge, 1: y edge, 2: corner
+        px = (_border_position(rng, src.width, obj) if axes != 1
+              else float(rng.integers(0, src.width - obj + 1)))
+        py = (_border_position(rng, src.height, obj) if axes != 0
+              else float(rng.integers(0, src.height - obj + 1)))
+        frame, (x, y, w, h) = src.frame_rgb_at(px, py)
+    else:
+        i = int(rng.integers(0, 200))
+        frame = src.frame_rgb(i)
+        x, y, w, h = src.bbox_at(i)
+    cx, cy = x + w / 2, y + h / 2
+
+    # Template: exact window around the target.
+    zsize = float(np.ceil(cfg.template_factor * np.sqrt(w * h)))
+    z = _crop_np(frame, cx, cy, zsize, cfg.template_size)
+
+    # Search: window around a jittered box (simulating motion between
+    # frames); gt expressed inside that window.
+    jx = cx + rng.uniform(-0.5, 0.5) * w
+    jy = cy + rng.uniform(-0.5, 0.5) * h
+    ssize = float(np.ceil(cfg.search_factor * np.sqrt(w * h)))
+    xim = _crop_np(frame, jx, jy, ssize, cfg.search_size)
+
+    ox, oy = jx - ssize / 2, jy - ssize / 2
+    gt = np.array([(cx - ox) / ssize, (cy - oy) / ssize,
+                   w / ssize, h / ssize], np.float32)
+    to_u8 = lambda a: np.clip(np.round(a), 0, 255).astype(np.uint8)  # noqa: E731
+    return to_u8(z), to_u8(xim), gt
+
+
+def make_batch(rng: np.random.Generator, batch: int, cfg: ModelConfig,
+               border_frac: float = 0.4
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (z_imgs (B,Hz,Wz,3), x_imgs (B,Hx,Wx,3), gt (B,4)) —
     normalised crops + (cx, cy, w, h) in search-crop-normalised coords."""
     z_list, x_list, gt_list = [], [], []
     for _ in range(batch):
-        seed = int(rng.integers(0, 2 ** 31))
-        obj = int(rng.integers(32, 72))
-        src = _pooled_source(seed, obj)
-        i = int(rng.integers(0, 200))
-        frame = src.frame_rgb(i)
-        x, y, w, h = src.bbox_at(i)
-        cx, cy = x + w / 2, y + h / 2
-
-        # Template: exact window around the target.
-        zsize = float(np.ceil(cfg.template_factor * np.sqrt(w * h)))
-        z = _crop_np(frame, cx, cy, zsize, cfg.template_size)
-
-        # Search: window around a jittered box (simulating motion between
-        # frames); gt expressed inside that window.
-        jx = cx + rng.uniform(-0.5, 0.5) * w
-        jy = cy + rng.uniform(-0.5, 0.5) * h
-        ssize = float(np.ceil(cfg.search_factor * np.sqrt(w * h)))
-        xim = _crop_np(frame, jx, jy, ssize, cfg.search_size)
-
-        ox, oy = jx - ssize / 2, jy - ssize / 2
-        gt = np.array([(cx - ox) / ssize, (cy - oy) / ssize,
-                       w / ssize, h / ssize], np.float32)
-
+        z, x, gt = sample_raw(rng, cfg, border_frac)
         z_list.append(_normalize(z, cfg))
-        x_list.append(_normalize(xim, cfg))
+        x_list.append(_normalize(x, cfg))
         gt_list.append(gt)
     return (np.stack(z_list), np.stack(x_list), np.stack(gt_list))
+
+
+def make_dataset(seed: int, n: int, cfg: ModelConfig,
+                 border_frac: float = 0.4, log_every: int = 0
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pre-generate an n-sample dataset as uint8 crop stacks.
+
+    Host data-gen runs ~50 samples/s on the 1-core box, far below the TPU
+    step rate — so long runs pre-generate once, upload to HBM, and sample
+    minibatches on device (train.step.train_scan), with augmentation
+    restoring variety."""
+    rng = np.random.default_rng(seed)
+    zs, xs, gts = [], [], []
+    for i in range(n):
+        z, x, gt = sample_raw(rng, cfg, border_frac)
+        zs.append(z)
+        xs.append(x)
+        gts.append(gt)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"  dataset {i + 1}/{n}", flush=True)
+    return np.stack(zs), np.stack(xs), np.stack(gts)
 
 
 def batch_iterator(seed: int, batch: int, cfg: ModelConfig

@@ -16,8 +16,19 @@ from typing import Dict, Tuple
 
 import jax.numpy as jnp
 
-__all__ = ["gaussian_target", "focal_loss", "l1_at_cell", "giou_loss",
-           "total_loss"]
+__all__ = ["centre_cell", "gaussian_target", "focal_loss", "l1_at_cell",
+           "giou_loss", "total_loss"]
+
+
+def centre_cell(fs: int, cxy_norm: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The (cy, cx) integer cell containing the normalised centre — the ONE
+    rule shared by the focal-target pin and the offset/size supervision
+    (a pin/supervision disagreement at cell boundaries would train the
+    regression at a cell labelled negative)."""
+    cx = jnp.clip(jnp.floor(cxy_norm[0] * fs).astype(jnp.int32), 0, fs - 1)
+    cy = jnp.clip(jnp.floor(cxy_norm[1] * fs).astype(jnp.int32), 0, fs - 1)
+    return cy, cx
 
 
 def gaussian_target(fs: int, cxy_norm: jnp.ndarray, sigma_cells: float = 1.0
@@ -26,15 +37,16 @@ def gaussian_target(fs: int, cxy_norm: jnp.ndarray, sigma_cells: float = 1.0
     centre *cell* pinned to exactly 1.0 (CenterNet convention — the focal
     loss identifies positives as ``target == 1``; without the pin the
     continuous gaussian peak usually falls between cells and every cell
-    would train as a negative, collapsing the score map)."""
+    would train as a negative, collapsing the score map).  The pinned cell
+    comes from :func:`centre_cell` so it always matches the cell whose
+    offset/size regressions are supervised."""
     gx = cxy_norm[0] * fs - 0.5
     gy = cxy_norm[1] * fs - 0.5
     xs = jnp.arange(fs, dtype=jnp.float32)
     dx2 = (xs[None, :] - gx) ** 2
     dy2 = (xs[:, None] - gy) ** 2
     t = jnp.exp(-(dx2 + dy2) / (2.0 * sigma_cells ** 2))
-    cx_cell = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, fs - 1)
-    cy_cell = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, fs - 1)
+    cy_cell, cx_cell = centre_cell(fs, cxy_norm)
     return t.at[cy_cell, cx_cell].set(1.0)
 
 
@@ -101,8 +113,7 @@ def total_loss(score: jnp.ndarray, offset: jnp.ndarray, size: jnp.ndarray,
     target = gaussian_target(fs, gt_bbox_norm[:2])
     lf = focal_loss(score, target)
 
-    cx_cell = jnp.clip((gt_bbox_norm[0] * fs).astype(jnp.int32), 0, fs - 1)
-    cy_cell = jnp.clip((gt_bbox_norm[1] * fs).astype(jnp.int32), 0, fs - 1)
+    cy_cell, cx_cell = centre_cell(fs, gt_bbox_norm[:2])
     gt_off = jnp.stack([gt_bbox_norm[0] * fs - cx_cell,
                         gt_bbox_norm[1] * fs - cy_cell])
     lo = l1_at_cell(offset, gt_off, (cy_cell, cx_cell))

@@ -48,6 +48,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seqs", type=int, default=5)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--speed", type=float, default=3.0)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=256)
     args = ap.parse_args(argv)
 
     cfg = PRESETS[args.preset]
@@ -59,7 +61,8 @@ def main(argv=None) -> int:
     upd = jax.jit(lambda p, s, f: core.update(p, s, f, cfg))
     all_means = []
     for seq in range(args.seqs):
-        src = SyntheticSource(320, 256, obj_size=40 + 8 * seq, seed=seq,
+        src = SyntheticSource(args.width, args.height,
+                              obj_size=40 + 8 * seq, seed=seq,
                               speed=args.speed)
         st = core.init(params, jnp.asarray(src.frame_rgb(0)),
                        jnp.asarray(src.bbox_at(0)), cfg)
