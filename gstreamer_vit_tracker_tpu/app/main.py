@@ -130,6 +130,14 @@ def main(argv=None) -> int:
 
     src = make_source(args)
     width, height = src.width, src.height
+    # The source dictates the actual buffer layout: --source v4l2 delivers
+    # packed YUY2 and --source file whatever the file holds; feeding those
+    # into a mismatched preprocess path would crash on shape. Reconcile.
+    src_fmt = getattr(src, "fmt", args.fmt)
+    if src_fmt != args.fmt:
+        print(f"note: --format {args.fmt} overridden by source "
+              f"format {src_fmt}")
+        args.fmt = src_fmt
 
     from ..models import vittrack, weights as weights_mod
 

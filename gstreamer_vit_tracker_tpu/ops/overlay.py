@@ -161,11 +161,18 @@ class HudParams:
                  score: float, is_tracking: bool, is_selecting: bool,
                  cursor: Tuple[int, int], sel_start: Tuple[int, int],
                  sel_active: bool, bbox, has_bbox: bool):
-        self.state_chars, self.state_n = encode_text(state_name, STATE_LEN)
-        self.fps_chars, self.fps_n = encode_text(f"FPS: {fps:.0f}", FPS_LEN)
-        self.trk_chars, self.trk_n = encode_text(f"trk:{track_ms:.1f}ms", TRK_LEN)
+        # Dynamic strings are TRUNCATED to their field width, never raised
+        # on: a compile-dominated first tracked frame can push track_ms past
+        # 9999.9 and must not crash the frame loop (encode_text itself still
+        # raises on overflow — that contract is for static strings).
+        self.state_chars, self.state_n = encode_text(
+            state_name[:STATE_LEN], STATE_LEN)
+        self.fps_chars, self.fps_n = encode_text(
+            f"FPS: {fps:.0f}"[:FPS_LEN], FPS_LEN)
+        self.trk_chars, self.trk_n = encode_text(
+            f"trk:{track_ms:.1f}ms"[:TRK_LEN], TRK_LEN)
         self.score_chars, self.score_n = encode_text(
-            f"score: {score * 100.0:.0f}%", SCORE_LEN)
+            f"score: {score * 100.0:.0f}%"[:SCORE_LEN], SCORE_LEN)
         self.is_tracking = is_tracking
         self.is_selecting = is_selecting
         self.cursor = cursor

@@ -165,7 +165,8 @@ def preprocess_nv12(y_plane: jnp.ndarray, uv_plane: jnp.ndarray,
 
 def preprocess_yuy2(yuy2: jnp.ndarray, window: CropWindow, out_size: int,
                     mean: Sequence[float], std: Sequence[float],
-                    dtype=jnp.float32) -> jnp.ndarray:
+                    dtype=jnp.float32,
+                    band: Optional[int] = None) -> jnp.ndarray:
     """Fused YUY2 -> normalised RGB model crop.
 
     YUY2 is the active reference camera format (4:2:2 packed, two pixels
@@ -173,20 +174,31 @@ def preprocess_yuy2(yuy2: jnp.ndarray, window: CropWindow, out_size: int,
     packed buffer shaped (H, W*2) uint8.  Luma resamples at full
     resolution; chroma (full vertical, half horizontal resolution)
     resamples through the column-folded matrix only — the 4:2:2 analog of
-    the NV12 path.
+    the NV12 path.  ``band`` slices a static window-centred region first
+    (even-column aligned for the 4:2:2 chroma fold), like the RGB/NV12
+    paths, so large frames pay band-sized rather than frame-sized matmuls.
     """
     height = yuy2.shape[0]
     width = yuy2.shape[1] // 2
+    start_y = window.cy - 0.5 * window.size
+    start_x = window.cx - 0.5 * window.size
+    if band is not None and (height > band or width > band):
+        bh, bw = min(band, height), min(band, width)
+        row0, col0 = band_origin(window, height, width, band)
+        # Slice the packed buffer: one output column = two packed bytes;
+        # col0 is even so the quad phase (Y0 U Y1 V) is preserved.
+        yuy2 = jax.lax.dynamic_slice(yuy2, (row0, col0 * 2), (bh, bw * 2))
+        start_y = start_y - row0
+        start_x = start_x - col0
+        height, width = bh, bw
     quads = yuy2.reshape(height, width // 2, 4)
     y_plane = quads[..., (0, 2)].reshape(height, width)
     u_half = quads[..., 1]           # (H, W/2)
     v_half = quads[..., 3]
 
     scale = window.size / out_size
-    ry = sampling_matrix(out_size, height, window.cy - 0.5 * window.size,
-                         scale, dtype)
-    cxm = sampling_matrix(out_size, width, window.cx - 0.5 * window.size,
-                          scale, dtype)
+    ry = sampling_matrix(out_size, height, start_y, scale, dtype)
+    cxm = sampling_matrix(out_size, width, start_x, scale, dtype)
     cx_uv = fold_half_res(cxm)
 
     yc = ry @ (y_plane.astype(dtype) - 16.0) @ cxm.T

@@ -31,14 +31,33 @@ def build(force: bool = False) -> bool:
         return False
 
 
+_load_failed = False
+
+
 def load() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None on failure."""
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not build():
+    if _load_failed:
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    if not os.path.exists(_LIB_PATH) and not build():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # A stale .so for another arch/glibc: rebuild once, else fall back
+        # to the pure-Python paths (available() must return False, not
+        # raise).
+        if not build(force=True):
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _load_failed = True
+            return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.nv12_to_rgb_mt.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p,
                                    ctypes.c_int]

@@ -64,7 +64,8 @@ def _prep_nv12(frame, window, out_size: int, cfg: ModelConfig):
 def _prep_yuy2(frame, window, out_size: int, cfg: ModelConfig):
     # frame: (H, W*2) packed YUY2 rows.
     return pp.preprocess_yuy2(frame, window, out_size, cfg.norm_mean,
-                              cfg.norm_std, dtype=_prep_dtype(cfg))
+                              cfg.norm_std, dtype=_prep_dtype(cfg),
+                              band=cfg.preprocess_band)
 
 
 _PREPS: Dict[str, Callable] = {"rgb": _prep_rgb, "nv12": _prep_nv12,

@@ -182,3 +182,30 @@ def test_banded_preprocess_matches_unbanded(rng):
         banded_rgb = np.asarray(pp.preprocess_rgb(jnp.asarray(rgb_src), win,
                                                   64, mean, std, band=192))
         np.testing.assert_allclose(banded_rgb, full_rgb, atol=1e-4)
+
+
+def test_banded_yuy2_matches_unbanded(rng):
+    """YUY2 path banding parity (ADVICE round 1: the band parameter was
+    silently dropped on the YUY2 path): band-sliced result must equal the
+    full-frame computation, including odd-window/near-edge geometry where
+    the even-column snap matters for the 4:2:2 chroma fold."""
+    from gstreamer_vit_tracker_tpu.media.source import rgb_to_yuy2
+    from gstreamer_vit_tracker_tpu.ops import preprocess as pp
+
+    h, w = 256, 384
+    coarse = rng.integers(30, 226, size=(8, 12, 3)).astype(np.float64)
+    rgb_src = np.clip(np.round(np.asarray(
+        resample.crop_resize(jnp.asarray(coarse), (0.0, 0.0), (8.0, 12.0),
+                             (h, w))
+    )), 0, 255).astype(np.uint8)
+    yuy2 = jnp.asarray(rgb_to_yuy2(rgb_src))
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+
+    for bbox in [(180.0, 120.0, 40.0, 30.0),   # interior
+                 (3.0, 5.0, 31.0, 29.0),        # near corner, odd sizes
+                 (350.0, 230.0, 24.0, 24.0)]:   # near far edge
+        win = pp.crop_window(jnp.asarray(bbox), 4.0)
+        full = np.asarray(pp.preprocess_yuy2(yuy2, win, 64, mean, std))
+        banded = np.asarray(pp.preprocess_yuy2(yuy2, win, 64, mean, std,
+                                               band=192))
+        np.testing.assert_allclose(banded, full, atol=1e-4, err_msg=str(bbox))
