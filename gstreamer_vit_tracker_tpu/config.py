@@ -102,6 +102,11 @@ class ModelConfig:
     template_factor: float = 2.0    # context amount around bbox for template
     search_factor: float = 4.0      # context amount around bbox for search
     head_mode: str = "conv"         # "conv" (learned) | "corr" (training-free)
+    # Hanning-penalty formula for the decode: "opencv" matches
+    # cv2.createHanningWindow / the real TrackerVit bit-for-bit (zero border
+    # cells); "interior" keeps nonzero border weights (better recovery of
+    # fast targets at the window edge).  See models/heads.py::hanning_2d.
+    hann_mode: str = "interior"
     # Normalisation applied after /255 (ImageNet stats).
     norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)

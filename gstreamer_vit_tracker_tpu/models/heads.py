@@ -181,10 +181,31 @@ def _parabolic_offsets(score: jnp.ndarray) -> jnp.ndarray:
 # Decode
 # ---------------------------------------------------------------------------
 
-def hanning_2d(fs: int) -> jnp.ndarray:
+def hanning_2d(fs: int, mode: str = "interior") -> jnp.ndarray:
     """Separable 2-D hann window, the motion-smoothness penalty applied to
-    the score map before argmax (standard VitTrack/OSTrack decode)."""
-    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(fs) + 1) / (fs + 1))
+    the score map before argmax (standard VitTrack/OSTrack decode).
+
+    ``mode="opencv"`` reproduces ``cv2.createHanningWindow`` exactly —
+    ``sqrt(hann_i * hann_j) = sin(pi*i/(N-1)) * sin(pi*j/(N-1))`` with ZERO
+    rows/cols at the map borders, the formula OpenCV's TrackerVit
+    multiplies into the confidence map (opencv modules/video tracker_vit;
+    the reference's model family, /root/reference/src/main.rs:25).  Pinned
+    bit-for-bit against cv2 in tests/test_decode_parity.py.
+
+    ``mode="interior"`` (default) is the endpoint-free variant
+    ``0.5*(1-cos(2*pi*(i+1)/(N+1)))``: border cells keep a small nonzero
+    weight, so a fast-moving target at the search-window edge can still be
+    picked up — measurably better long-horizon border robustness on our
+    flagship, at the cost of exact decode parity (switchable via
+    ModelConfig.hann_mode).
+    """
+    if mode == "opencv":
+        w = jnp.sin(jnp.pi * jnp.arange(fs) / (fs - 1))
+        # Exact border zeros (f32 sin(pi) is ~-9e-8): the defining OpenCV
+        # semantic is that the argmax can NEVER pick a border cell.
+        w = w.at[jnp.array([0, fs - 1])].set(0.0)
+    else:
+        w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * (jnp.arange(fs) + 1) / (fs + 1))
     return jnp.outer(w, w)
 
 

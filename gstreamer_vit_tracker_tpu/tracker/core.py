@@ -125,7 +125,7 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
     maps = vittrack.forward(params, state.z_tok[None], x_img[None], cfg,
                             use_pallas=use_pallas)
 
-    hann = heads_mod.hanning_2d(cfg.feat_size)
+    hann = heads_mod.hanning_2d(cfg.feat_size, cfg.hann_mode)
     prev_size_norm = state.bbox[2:4] / window.size
     bbox_norm, conf = heads_mod.decode_maps(
         maps.score[0], maps.offset[0], maps.size[0], hann, prev_size_norm)
