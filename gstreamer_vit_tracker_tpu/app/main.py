@@ -148,8 +148,11 @@ def main(argv=None) -> int:
         params = weights_mod.load_npz(ckpt, params)
         print(f"loaded weights: {ckpt}")
 
-    backend = JaxTrackerBackend(params, mcfg, frame_format=args.fmt,
-                                pipelined=args.pipelined)
+    def make_backend():
+        return JaxTrackerBackend(params, mcfg, frame_format=args.fmt,
+                                 pipelined=args.pipelined)
+
+    backend = make_backend()
     app_cfg = AppConfig()
     session = TrackerSession(backend, width, height, app_cfg.session)
     stats = TimingStats(app_cfg.telemetry.window)
@@ -182,6 +185,12 @@ def main(argv=None) -> int:
     last_t = None
     frame_idx = 0
     t_start = time.perf_counter()
+    # Fault recovery: the reference merely exits on pipeline errors
+    # (main.rs:56-65); we recover from transient device/relay faults by
+    # re-creating the tracker backend and riding the Lost/auto-reset path,
+    # giving up only after MAX_CONSECUTIVE_FAULTS bad frames in a row.
+    MAX_CONSECUTIVE_FAULTS = 30
+    consecutive_faults = 0
 
     try:
         while running.is_set():
@@ -199,77 +208,27 @@ def main(argv=None) -> int:
                 except pyqueue.Empty:
                     break
 
-            with phases.phase("map"):
-                frame = src.frame(frame_idx)
+            try:
+                frame_idx = _run_frame(args, src, session, stats, phases,
+                                       sink, app_cfg, frame_idx)
+                consecutive_faults = 0
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:
+                consecutive_faults += 1
+                print(f"\rFrame {frame_idx} error: {e!r} "
+                      f"({consecutive_faults}/{MAX_CONSECUTIVE_FAULTS})")
+                if consecutive_faults >= MAX_CONSECUTIVE_FAULTS:
+                    print("Unrecoverable: too many consecutive faults")
+                    break
+                try:
+                    backend = make_backend()
+                    session.tracker = backend
+                except Exception as e2:
+                    print(f"Backend re-create failed: {e2!r}")
+                session.force_lost()
+                frame_idx += 1
 
-            t1 = time.perf_counter()
-            with phases.phase("track"):
-                bbox = session.process_frame(frame)
-            track_us = (time.perf_counter() - t1) * 1e6
-            stats.add_times(0.0, track_us)
-
-            # HUD overlay on device (pipeline_ir.rs:162-204).
-            state_name = session.state_name()
-            sel = session.selection
-            hud = overlay.HudParams(
-                state_name=state_name,
-                fps=stats.fps(),
-                track_ms=stats.avg_track_ms(),
-                score=session.current_score,
-                is_tracking=state_name == "TRACKING",
-                is_selecting=state_name.startswith("SELECT"),
-                cursor=(sel.cursor_x, sel.cursor_y),
-                sel_start=(sel.start_x, sel.start_y),
-                sel_active=sel.phase.value == "selecting_area",
-                bbox=(bbox if bbox is not None else
-                      (session.current_bbox if state_name == "TRACKING" and
-                       session.current_bbox else (0, 0, 0, 0))),
-                has_bbox=bbox is not None or (
-                    state_name == "TRACKING" and session.current_bbox is not None),
-            )
-            t_draw = time.perf_counter()
-            # HUD target per format (mirrors the reference: the active
-            # pipeline draws on RGB after videoconvert, the legacy one on
-            # the NV12 luma plane).
-            if args.fmt == "rgb":
-                out = overlay.render_hud(jnp.asarray(frame), hud)
-            elif args.fmt == "yuy2":
-                from ..ops import colorspace
-
-                rgb = colorspace.yuy2_to_rgb(
-                    jnp.asarray(frame).reshape(-1), width=width, height=height)
-                out = overlay.render_hud(rgb, hud)
-            else:  # nv12 — draw into the luma plane
-                from ..ops import overlay_nv12
-
-                y_pl, _uv = frame
-                out = overlay_nv12.render_hud_luma(jnp.asarray(y_pl), hud)
-            if args.display_scale and args.fmt == "rgb":
-                from ..ops import resample
-
-                out = resample.resize_static(out, app_cfg.display.height,
-                                             app_cfg.display.width)
-            phases.totals["draw"] = phases.totals.get("draw", 0.0) + (
-                time.perf_counter() - t_draw)
-            phases.counts["draw"] = phases.counts.get("draw", 0) + 1
-            # Only recording sinks need the pixels on the host; the null
-            # sink keeps the frame on device (no transfer).
-            sink.write(np.asarray(out) if isinstance(sink, FileSink) else out)
-            # Bound in-flight device work (the reference's leaky queue caps
-            # buffers at 3, pipeline_ir.rs:75-78): an unpaced loop can
-            # otherwise flood the dispatch queue and starve later compiles.
-            if frame_idx % app_cfg.queue.max_buffers == 0:
-                jax.block_until_ready(out)
-
-            if frame_idx % app_cfg.telemetry.print_every == 0 and frame_idx > 0:
-                print(f"[{state_name}] FPS: {stats.fps():.0f} | "
-                      f"track: {stats.avg_track_ms():.1f}ms | "
-                      f"p50: {stats.p50_track_ms():.1f}ms | "
-                      f"draw: {phases.avg_ms('draw'):.1f}ms | "
-                      f"map: {phases.avg_ms('map'):.1f}ms | "
-                      f"score: {session.current_score * 100:.0f}%")
-
-            frame_idx += 1
             if not args.no_pace:
                 sleep = period - (time.perf_counter() - now)
                 if sleep > 0:
@@ -286,6 +245,88 @@ def main(argv=None) -> int:
           f"final state {session.state_name()}, "
           f"avg track {stats.avg_track_ms():.2f}ms")
     return 0
+
+
+def _run_frame(args, src, session, stats, phases, sink, app_cfg,
+               frame_idx: int) -> int:
+    """One iteration of the per-frame hot loop (pipeline_ir.rs:100-228):
+    fetch -> track -> HUD -> sink -> telemetry.  Raises on device/source
+    faults; the caller recovers.  Returns the next frame index."""
+    import jax
+    import jax.numpy as jnp
+
+    with phases.phase("map"):
+        frame = src.frame(frame_idx)
+
+    t1 = time.perf_counter()
+    with phases.phase("track"):
+        bbox = session.process_frame(frame)
+    track_us = (time.perf_counter() - t1) * 1e6
+    stats.add_times(0.0, track_us)
+
+    # HUD overlay on device (pipeline_ir.rs:162-204).
+    state_name = session.state_name()
+    sel = session.selection
+    hud = overlay.HudParams(
+        state_name=state_name,
+        fps=stats.fps(),
+        track_ms=stats.avg_track_ms(),
+        score=session.current_score,
+        is_tracking=state_name == "TRACKING",
+        is_selecting=state_name.startswith("SELECT"),
+        cursor=(sel.cursor_x, sel.cursor_y),
+        sel_start=(sel.start_x, sel.start_y),
+        sel_active=sel.phase.value == "selecting_area",
+        bbox=(bbox if bbox is not None else
+              (session.current_bbox if state_name == "TRACKING" and
+               session.current_bbox else (0, 0, 0, 0))),
+        has_bbox=bbox is not None or (
+            state_name == "TRACKING" and session.current_bbox is not None),
+    )
+    t_draw = time.perf_counter()
+    # HUD target per format (mirrors the reference: the active
+    # pipeline draws on RGB after videoconvert, the legacy one on
+    # the NV12 luma plane).
+    if args.fmt == "rgb":
+        out = overlay.render_hud(jnp.asarray(frame), hud)
+    elif args.fmt == "yuy2":
+        from ..ops import colorspace
+
+        rgb = colorspace.yuy2_to_rgb(
+            jnp.asarray(frame).reshape(-1), width=src.width,
+            height=src.height)
+        out = overlay.render_hud(rgb, hud)
+    else:  # nv12 — draw into the luma plane
+        from ..ops import overlay_nv12
+
+        y_pl, _uv = frame
+        out = overlay_nv12.render_hud_luma(jnp.asarray(y_pl), hud)
+    if args.display_scale and args.fmt == "rgb":
+        from ..ops import resample
+
+        out = resample.resize_static(out, app_cfg.display.height,
+                                     app_cfg.display.width)
+    phases.totals["draw"] = phases.totals.get("draw", 0.0) + (
+        time.perf_counter() - t_draw)
+    phases.counts["draw"] = phases.counts.get("draw", 0) + 1
+    # Only recording sinks need the pixels on the host; the null
+    # sink keeps the frame on device (no transfer).
+    sink.write(np.asarray(out) if isinstance(sink, FileSink) else out)
+    # Bound in-flight device work (the reference's leaky queue caps
+    # buffers at 3, pipeline_ir.rs:75-78): an unpaced loop can
+    # otherwise flood the dispatch queue and starve later compiles.
+    if frame_idx % app_cfg.queue.max_buffers == 0:
+        jax.block_until_ready(out)
+
+    if frame_idx % app_cfg.telemetry.print_every == 0 and frame_idx > 0:
+        print(f"[{state_name}] FPS: {stats.fps():.0f} | "
+              f"track: {stats.avg_track_ms():.1f}ms | "
+              f"p50: {stats.p50_track_ms():.1f}ms | "
+              f"draw: {phases.avg_ms('draw'):.1f}ms | "
+              f"map: {phases.avg_ms('map'):.1f}ms | "
+              f"score: {session.current_score * 100:.0f}%")
+
+    return frame_idx + 1
 
 
 if __name__ == "__main__":

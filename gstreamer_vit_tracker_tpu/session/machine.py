@@ -124,6 +124,7 @@ class TrackerSession:
             result_bbox, score, success = self.tracker.update(frame)
         except Exception as e:  # tracker error path (rs:105-109)
             self.log(f"Tracker error: {e!r}")
+            self._recover_backend()
             self.selection = SelectionState.new(self.frame_width,
                                                 self.frame_height, self.cfg)
             return None
@@ -144,8 +145,9 @@ class TrackerSession:
         self.pending_confirm = False
         try:
             bbox, score, success = self.tracker.update(frame)
-        except Exception:
-            self.log("Tracker error")
+        except Exception as e:
+            self.log(f"Tracker error: {e!r}")
+            self._recover_backend()
             self.state = SessionState.LOST
             self.lost = Lost(0)
             return None
@@ -158,6 +160,29 @@ class TrackerSession:
         self.lost = Lost(0)
         self.current_score = 0.0
         return None
+
+    def _recover_backend(self) -> None:
+        """After a tracker exception, give the backend a chance to rebuild
+        its device state (e.g. re-upload params after a device/relay
+        reset).  Backends without a ``recover`` hook are left alone — the
+        Lost/auto-reset path still re-arms the session."""
+        recover = getattr(self.tracker, "recover", None)
+        if recover is None:
+            return
+        try:
+            recover()
+        except Exception as e:
+            self.log(f"Backend recovery failed: {e!r}")
+
+    def force_lost(self) -> None:
+        """Drop the session into Lost (fresh counter) after an external
+        fault — e.g. the app loop recovering from a device/relay error.
+        The normal Lost countdown then auto-resets to selection.  This
+        exceeds the reference, which simply exits on pipeline errors
+        (main.rs:56-65)."""
+        self.state = SessionState.LOST
+        self.lost = Lost(0)
+        self.current_score = 0.0
 
     def _process_lost(self) -> Optional[BBox]:
         self.pending_confirm = False
@@ -199,10 +224,12 @@ class JaxTrackerBackend:
 
     def __init__(self, params: Dict[str, Any], cfg, frame_format: str = "rgb",
                  pipelined: bool = False):
+        import jax
         import jax.numpy as jnp
 
         from ..tracker import core
 
+        self._jax = jax
         self._jnp = jnp
         self._core = core
         self.params = params
@@ -211,6 +238,18 @@ class JaxTrackerBackend:
         self.pipelined = pipelined
         self._pending = None
         self.state = None
+        # Host-side copy for device-loss recovery (a dead device leaves
+        # self.params pointing at unreachable buffers).
+        self._host_params = jax.device_get(params)
+
+    def recover(self) -> None:
+        """Rebuild device state after a device/relay fault: re-upload
+        params from the host copy and drop the (possibly dead) TrackState
+        and in-flight work.  The session re-inits on the next confirm."""
+        self.params = self._jax.tree.map(self._jnp.asarray,
+                                         self._host_params)
+        self.state = None
+        self._pending = None
 
     def _to_device(self, frame):
         jnp = self._jnp

@@ -103,3 +103,83 @@ def test_concurrent_commands_during_tracking():
     finally:
         stop.set()
         t.join(timeout=2)
+
+
+def test_app_loop_recovers_from_backend_crash(monkeypatch, capsys):
+    """Kill the device backend mid-run: update_packed_jit raises for a few
+    frames (simulating the relay ABORTED faults).  The app loop must
+    re-create the backend, ride Lost/auto-reset, and end the run alive —
+    exceeding the reference, which exits on pipeline errors
+    (main.rs:56-65)."""
+    from gstreamer_vit_tracker_tpu.app import main as app_main
+    from gstreamer_vit_tracker_tpu.tracker import core
+
+    real = core.update_packed_jit
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if 10 <= calls["n"] < 13:
+            raise RuntimeError("DEVICE_LOST: relay aborted (injected)")
+        return real(*a, **k)
+
+    monkeypatch.setattr(core, "update_packed_jit", flaky)
+    rc = app_main.main(["--headless", "--frames", "100", "--no-pace",
+                        "--model", "corr-tiny", "--width", "160",
+                        "--height", "128", "--cpu"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "DEVICE_LOST" in out                  # faults actually fired
+    assert "Unrecoverable" not in out            # ...and were recovered
+    assert "Done: 100 frames" in out             # the loop ran to the end
+    # Session ends in a live state (selection re-armed via the Lost
+    # auto-reset after the backend rebuilt its device state), not crashed.
+    assert ("final state TRACKING" in out or "final state SELECT" in out
+            or "final state LOST" in out)
+
+
+def test_app_loop_recovers_from_hud_device_fault(monkeypatch, capsys):
+    """Device faults OUTSIDE the tracker (HUD render / sink) hit the
+    app-level recovery: backend re-created, session forced Lost, run
+    completes."""
+    from gstreamer_vit_tracker_tpu.app import main as app_main
+    from gstreamer_vit_tracker_tpu.ops import overlay
+
+    real = overlay.render_hud
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if 10 <= calls["n"] < 13:
+            raise RuntimeError("DEVICE_LOST: hud render (injected)")
+        return real(*a, **k)
+
+    monkeypatch.setattr(overlay, "render_hud", flaky)
+    rc = app_main.main(["--headless", "--frames", "100", "--no-pace",
+                        "--model", "corr-tiny", "--width", "160",
+                        "--height", "128", "--cpu"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "DEVICE_LOST" in out
+    assert "Frame " in out and "error" in out    # app-level handler fired
+    assert "Unrecoverable" not in out
+    assert "Done: 100 frames" in out
+
+
+def test_app_loop_gives_up_after_persistent_faults(monkeypatch, capsys):
+    """A permanently dead device must terminate the run with the
+    unrecoverable message instead of spinning forever."""
+    from gstreamer_vit_tracker_tpu.app import main as app_main
+    from gstreamer_vit_tracker_tpu.ops import overlay
+
+    def dead(*a, **k):
+        raise RuntimeError("DEVICE_LOST: permanent (injected)")
+
+    monkeypatch.setattr(overlay, "render_hud", dead)
+    rc = app_main.main(["--headless", "--frames", "500", "--no-pace",
+                        "--model", "corr-tiny", "--width", "160",
+                        "--height", "128", "--cpu"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Unrecoverable" in out
+    assert "Done: 500 frames" not in out         # terminated early
