@@ -202,40 +202,50 @@ class FileSource:
 
 
 class V4L2Source:
-    """Raw V4L2 capture (YUY2), used only when a camera node exists —
-    the reference hard-fails without one (main.rs:34-36); we degrade to the
-    synthetic source instead.  Reads via the kernel's read() interface; no
-    external libraries."""
+    """Real V4L2 capture (YUY2) via the framework's own ioctl/mmap stack
+    (media/v4l2.py): VIDIOC_S_FMT negotiation, mmap streaming buffers,
+    QBUF/DQBUF ring — the caps the reference's v4l2src negotiates
+    (pipeline_ir.rs:21-41: YUY2 640x512@60, io-mode dmabuf; mmap streaming
+    is the userspace analog).  Used only when a camera node exists — the
+    reference hard-fails without one (main.rs:34-36); we degrade to the
+    synthetic source instead."""
 
     def __init__(self, device: str = "/dev/video21", width: int = 640,
                  height: int = 512, fps: int = 60):
         if not os.path.exists(device):
             raise FileNotFoundError(f"Camera not found: {device}")
+        from .v4l2 import V4L2Capture
+
         self.device = device
-        self.width = width
-        self.height = height
         self.fps = fps
         self.fmt = "yuy2"
-        self._fd: Optional[int] = None
+        self._cap = V4L2Capture(device, width, height, fps=fps)
+        # Negotiated geometry may differ from the request; expose the
+        # ACTUAL frame shape to the pipeline.
+        self._started = False
+        self.width = width
+        self.height = height
 
     def open(self):
-        self._fd = os.open(self.device, os.O_RDONLY)
+        self._cap.start()
+        self.width = self._cap.width
+        self.height = self._cap.height
+        self._started = True
 
     def frame(self, i: int) -> np.ndarray:
-        if self._fd is None:
+        if not self._started:
             self.open()
+        data = self._cap.read_frame()
         n = self.width * self.height * 2
-        data = os.read(self._fd, n)
-        buf = np.frombuffer(data, np.uint8)
-        if buf.size < n:
-            buf = np.pad(buf, (0, n - buf.size))
+        if data.size < n:
+            data = np.pad(data, (0, n - data.size))
         # Packed YUY2 rows, the tracker's "yuy2" frame layout.
-        return buf.reshape(self.height, self.width * 2)
+        return data[:n].reshape(self.height, self.width * 2)
 
     def close(self):
-        if self._fd is not None:
-            os.close(self._fd)
-            self._fd = None
+        if self._started:
+            self._cap.stop()
+            self._started = False
 
 
 class FlakySource:
