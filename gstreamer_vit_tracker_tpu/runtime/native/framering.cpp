@@ -30,42 +30,54 @@
 
 namespace {
 
-inline uint8_t clamp_u8(int32_t v) {
-  return v < 0 ? 0 : (v > 255 ? 255 : static_cast<uint8_t>(v));
-}
-
-struct YuvTables {
-  int32_t y_t[256], rv_t[256], gu_t[256], gv_t[256], bu_t[256];
-  YuvTables() {
-    for (int i = 0; i < 256; ++i) {
-      y_t[i] = 298 * (i - 16);
-      rv_t[i] = 409 * (i - 128);
-      gu_t[i] = 100 * (i - 128);
-      gv_t[i] = 208 * (i - 128);
-      bu_t[i] = 516 * (i - 128);
-    }
-  }
+// BT.601 limited-range YUV -> RGB, 8.8 fixed point, computed as a direct
+// integer affine per sample (the standard coefficients 298/409/100/208/516
+// with the +128 rounding term and >>8; identical arithmetic to
+// ops/colorspace.py, which the golden tests pin bit-for-bit).  At ~5 ops
+// per channel a LUT buys nothing on modern cores and the multiplies
+// auto-vectorise.
+struct Rgb24 {
+  uint8_t r, g, b;
 };
 
-const YuvTables& tables() {
-  static YuvTables t;
-  return t;
+inline uint8_t sat_u8(int v) {
+  if (v & ~0xFF) return v < 0 ? 0 : 255;  // branch only off-range
+  return static_cast<uint8_t>(v);
 }
 
-void convert_rows_nv12(const uint8_t* y_plane, const uint8_t* uv_plane,
-                       uint8_t* out, int width, int row_begin, int row_end) {
-  const YuvTables& t = tables();
-  for (int row = row_begin; row < row_end; ++row) {
-    const uint8_t* yrow = y_plane + static_cast<size_t>(row) * width;
-    const uint8_t* uvrow = uv_plane + static_cast<size_t>(row / 2) * width;
-    uint8_t* orow = out + static_cast<size_t>(row) * width * 3;
-    for (int col = 0; col < width; ++col) {
-      int uv_idx = (col / 2) * 2;
-      int u = uvrow[uv_idx], v = uvrow[uv_idx + 1];
-      int yv = t.y_t[yrow[col]];
-      orow[col * 3 + 0] = clamp_u8((yv + t.rv_t[v] + 128) >> 8);
-      orow[col * 3 + 1] = clamp_u8((yv - t.gu_t[u] - t.gv_t[v] + 128) >> 8);
-      orow[col * 3 + 2] = clamp_u8((yv + t.bu_t[u] + 128) >> 8);
+inline Rgb24 bt601_px(int y, int cb, int cr) {
+  const int luma = 298 * (y - 16) + 128;
+  const int u = cb - 128, v = cr - 128;
+  return Rgb24{sat_u8((luma + 409 * v) >> 8),
+               sat_u8((luma - 100 * u - 208 * v) >> 8),
+               sat_u8((luma + 516 * u) >> 8)};
+}
+
+inline void store_px(uint8_t* dst, Rgb24 px) {
+  dst[0] = px.r;
+  dst[1] = px.g;
+  dst[2] = px.b;
+}
+
+// NV12 conversion organised around the chroma plane: each iteration owns
+// one UV row and decodes BOTH luma rows that share it (a 2x2 quad per
+// chroma sample), so chroma loads happen exactly once.  Workers partition
+// the chroma rows [uv_begin, uv_end).
+void convert_uv_rows_nv12(const uint8_t* y_plane, const uint8_t* uv_plane,
+                          uint8_t* out, int width, int height, int uv_begin,
+                          int uv_end) {
+  for (int ur = uv_begin; ur < uv_end; ++ur) {
+    const uint8_t* uvrow = uv_plane + static_cast<size_t>(ur) * width;
+    const int r0 = ur * 2;
+    const int rows = (r0 + 1 < height) ? 2 : 1;  // odd-height tail
+    for (int sub = 0; sub < rows; ++sub) {
+      const uint8_t* yrow = y_plane + static_cast<size_t>(r0 + sub) * width;
+      uint8_t* orow = out + static_cast<size_t>(r0 + sub) * width * 3;
+      for (int col = 0; col < width; ++col) {
+        const int cb = uvrow[(col & ~1)];
+        const int cr = uvrow[(col & ~1) + 1];
+        store_px(orow + col * 3, bt601_px(yrow[col], cb, cr));
+      }
     }
   }
 }
@@ -82,42 +94,35 @@ void nv12_to_rgb_mt(const uint8_t* nv12, int width, int height,
                     uint8_t* out_rgb, int num_threads) {
   const uint8_t* y_plane = nv12;
   const uint8_t* uv_plane = nv12 + static_cast<size_t>(width) * height;
+  const int uv_rows = (height + 1) / 2;
   if (num_threads <= 1) {
-    convert_rows_nv12(y_plane, uv_plane, out_rgb, width, 0, height);
+    convert_uv_rows_nv12(y_plane, uv_plane, out_rgb, width, height, 0,
+                         uv_rows);
     return;
   }
   std::vector<std::thread> threads;
-  // Split on even row boundaries so each worker owns whole UV rows.
-  int pairs = (height + 1) / 2;
-  int per = (pairs + num_threads - 1) / num_threads;
+  const int per = (uv_rows + num_threads - 1) / num_threads;
   for (int tid = 0; tid < num_threads; ++tid) {
-    int r0 = tid * per * 2;
-    int r1 = std::min(height, (tid + 1) * per * 2);
-    if (r0 >= r1) break;
-    threads.emplace_back(convert_rows_nv12, y_plane, uv_plane, out_rgb,
-                         width, r0, r1);
+    const int u0 = tid * per;
+    const int u1 = std::min(uv_rows, u0 + per);
+    if (u0 >= u1) break;
+    threads.emplace_back(convert_uv_rows_nv12, y_plane, uv_plane, out_rgb,
+                         width, height, u0, u1);
   }
   for (auto& th : threads) th.join();
 }
 
 void yuy2_to_rgb_mt(const uint8_t* yuy2, int width, int height,
                     uint8_t* out_rgb, int num_threads) {
-  const YuvTables& t = tables();
-  auto work = [&](int r0, int r1) {
+  auto work = [=](int r0, int r1) {
     for (int row = r0; row < r1; ++row) {
       const uint8_t* in = yuy2 + static_cast<size_t>(row) * width * 2;
       uint8_t* orow = out_rgb + static_cast<size_t>(row) * width * 3;
+      // One Y0-U-Y1-V quad decodes two pixels sharing the chroma pair.
       for (int col = 0; col < width; col += 2) {
-        int y0 = in[col * 2 + 0], u = in[col * 2 + 1];
-        int y1 = in[col * 2 + 2], v = in[col * 2 + 3];
-        int rv = t.rv_t[v], gu = t.gu_t[u], gv = t.gv_t[v], bu = t.bu_t[u];
-        int yv0 = t.y_t[y0], yv1 = t.y_t[y1];
-        orow[col * 3 + 0] = clamp_u8((yv0 + rv + 128) >> 8);
-        orow[col * 3 + 1] = clamp_u8((yv0 - gu - gv + 128) >> 8);
-        orow[col * 3 + 2] = clamp_u8((yv0 + bu + 128) >> 8);
-        orow[col * 3 + 3] = clamp_u8((yv1 + rv + 128) >> 8);
-        orow[col * 3 + 4] = clamp_u8((yv1 - gu - gv + 128) >> 8);
-        orow[col * 3 + 5] = clamp_u8((yv1 + bu + 128) >> 8);
+        const uint8_t* q = in + col * 2;
+        store_px(orow + col * 3, bt601_px(q[0], q[1], q[3]));
+        store_px(orow + col * 3 + 3, bt601_px(q[2], q[1], q[3]));
       }
     }
   };
