@@ -111,15 +111,26 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
         x, y, w, h = src.bbox_at(i)
     cx, cy = x + w / 2, y + h / 2
 
-    # Template: exact window around the target.
-    zsize = float(np.ceil(cfg.template_factor * np.sqrt(w * h)))
-    z = _crop_np(frame, cx, cy, zsize, cfg.template_size)
+    # Template: window around the target, mildly jittered (the online
+    # template update re-crops at the *predicted* box, never exactly gt).
+    tj = float(np.exp(rng.uniform(np.log(0.95), np.log(1.05))))
+    zsize = float(np.ceil(cfg.template_factor * np.sqrt(w * h) * tj))
+    zx = cx + rng.uniform(-0.05, 0.05) * w
+    zy = cy + rng.uniform(-0.05, 0.05) * h
+    z = _crop_np(frame, zx, zy, zsize, cfg.template_size)
 
     # Search: window around a jittered box (simulating motion between
-    # frames); gt expressed inside that window.
+    # frames); gt expressed inside that window.  The window SCALE is
+    # jittered log-uniformly: at serve time the window is sized from the
+    # *predicted* previous box, so the normalised gt size must vary in
+    # training — without this the size label is the constant
+    # w/ceil(4w) ~= 0.25, the head learns to echo 0.25 of any window, and
+    # the serve loop turns ceil()'s upward bias into a ~1 px/frame box
+    # inflation that diverges within ~40 frames (observed round 2).
     jx = cx + rng.uniform(-0.5, 0.5) * w
     jy = cy + rng.uniform(-0.5, 0.5) * h
-    ssize = float(np.ceil(cfg.search_factor * np.sqrt(w * h)))
+    sj = float(np.exp(rng.uniform(np.log(0.7), np.log(1.4))))
+    ssize = float(np.ceil(cfg.search_factor * np.sqrt(w * h) * sj))
     xim = _crop_np(frame, jx, jy, ssize, cfg.search_size)
 
     ox, oy = jx - ssize / 2, jy - ssize / 2

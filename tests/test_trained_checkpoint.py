@@ -72,3 +72,31 @@ def test_trained_flagship_tracks():
         confs.append(float(conf))
     assert np.mean(ious) > 0.6, f"mean IoU {np.mean(ious):.3f}"
     assert min(confs) > 0.25
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(FLAGSHIP_CKPT),
+                    reason="flagship checkpoint not present")
+def test_trained_flagship_long_horizon_borders():
+    """Round-2 gate: 600 frames at 640x512 — the Lissajous path repeatedly
+    drives the target to within 10 px of every frame border, the regime
+    where the round-1 checkpoint lost it after ~250 frames.  Requires
+    sustained score > 0.25 (tracker_context.rs:122) and high IoU
+    throughout, INCLUDING the final frames."""
+    cfg = ModelConfig(dtype="float32")   # CPU test: skip bf16 casts
+    params = weights.load_npz(FLAGSHIP_CKPT,
+                              vittrack.init_params(jax.random.PRNGKey(0), cfg))
+    src = SyntheticSource(640, 512, obj_size=48, seed=5, speed=3.0)
+    st = core.init(params, jnp.asarray(src.frame_rgb(0)),
+                   jnp.asarray(src.bbox_at(0)), cfg)
+    upd = jax.jit(lambda p, s, f: core.update(p, s, f, cfg, use_pallas=False))
+    ious, confs = [], []
+    for i in range(1, 601):
+        st, bbox, conf = upd(params, st, jnp.asarray(src.frame_rgb(i)))
+        ious.append(iou(np.asarray(bbox), np.asarray(src.bbox_at(i))))
+        confs.append(float(conf))
+    ious = np.asarray(ious)
+    assert ious.mean() > 0.85, f"mean IoU {ious.mean():.3f}"
+    assert ious[-50:].mean() > 0.85, f"late IoU {ious[-50:].mean():.3f}"
+    assert ious.min() > 0.3, f"lost the target (min IoU {ious.min():.3f})"
+    assert min(confs) > 0.25, f"confidence dipped to {min(confs):.3f}"
