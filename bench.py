@@ -4,8 +4,8 @@ Measures the full per-frame tracking step — fused NV12 crop/resize/
 normalise -> ViT (Pallas flash attention) -> heads -> hanning decode ->
 bbox, with TrackState donated (HBM-resident) — on the flagship vittrack-t
 model over HBM-resident 1080p NV12 frames (the north-star configuration in
-BASELINE.json; input DMA is benchmarked separately by config 5's zero-copy
-path).
+BASELINE.json; per-frame host->device ingest is benchmarked by --ingest,
+per-frame 4K HUD compositing by --uhd).
 
 Steps are dispatched asynchronously back-to-back (the production serving
 shape: a pipelined feed with bounded in-flight frames, mirroring the
@@ -41,8 +41,15 @@ def main(argv=None) -> int:
                     help="also report N-object single-frame throughput with "
                          "online template update (config 3)")
     ap.add_argument("--uhd", action="store_true",
-                    help="also report 4K NV12 + on-device overlay FPS "
+                    help="also report 4K NV12 + per-frame on-device HUD FPS "
                          "(config 5)")
+    ap.add_argument("--ingest", action="store_true",
+                    help="also report ingest-included FPS: per-frame "
+                         "host->device 1080p NV12 transfer feeding the "
+                         "tracked step (double-buffered async device_put)")
+    ap.add_argument("--loop-frames", type=int, default=100,
+                    help="frames for the per-frame Python-loop latency "
+                         "measurement (p50/p99)")
     args = ap.parse_args(argv)
 
     import jax
@@ -101,15 +108,19 @@ def main(argv=None) -> int:
     np.asarray(scores)   # real value fetch, not just block_until_ready
     wall = time.perf_counter() - t0
     fps = n / wall
-    p50_ms = 1000.0 * wall / n   # steady-state per-frame step time
+    scan_step_ms = 1000.0 * wall / n   # steady-state MEAN step time (scan)
 
-    # --- Secondary: per-frame Python dispatch loop (interactive shape),
-    # one packed 5-float fetch per frame at the end.
+    # --- Secondary: per-frame Python dispatch loop (interactive shape).
+    # (a) async chained dispatch, one packed fetch at the end (throughput);
+    # (b) fully synchronous per-frame latency — dispatch + the packed
+    #     5-float fetch the interactive app performs every frame — from
+    #     which a REAL p50/p99 is computed.  On a relay-attached dev TPU
+    #     the fetch round trip dominates (b); both are reported honestly.
     state = core.init_jit(params, frames[0], bbox0, cfg, frame_format="nv12")
     state, packed = core.update_packed_jit(params, state, frames[0], cfg,
                                            frame_format="nv12")
     np.asarray(packed)
-    n_loop = min(n, 100)
+    n_loop = min(n, args.loop_frames)
     t0 = time.perf_counter()
     for i in range(n_loop):
         state, packed = core.update_packed_jit(
@@ -117,13 +128,27 @@ def main(argv=None) -> int:
     np.asarray(packed)
     loop_fps = n_loop / (time.perf_counter() - t0)
 
+    lat_ms = []
+    for i in range(n_loop):
+        t1 = time.perf_counter()
+        state, packed = core.update_packed_jit(
+            params, state, frames[i % args.pool], cfg, frame_format="nv12")
+        np.asarray(packed)          # per-frame synchronous value fetch
+        lat_ms.append(1000.0 * (time.perf_counter() - t1))
+    lat = np.asarray(lat_ms)
+
     result = {
         "metric": "tracked_fps_per_chip_1080p_nv12",
         "value": round(fps, 1),
         "unit": "fps",
+        # The reference publishes no numbers (BASELINE.md); denominator is
+        # the 500-fps-per-chip north-star TARGET, not a measured baseline.
         "vs_baseline": round(fps / 500.0, 3),
-        "p50_ms": round(p50_ms, 3),
+        "baseline_is": "500 fps north-star target",
+        "scan_step_ms_mean": round(scan_step_ms, 3),
         "python_loop_fps": round(loop_fps, 1),
+        "sync_p50_ms": round(float(np.percentile(lat, 50)), 3),
+        "sync_p99_ms": round(float(np.percentile(lat, 99)), 3),
         "backend": backend,
         "model": "vittrack-t(192d x12L, bf16, conv head)"
                  + (" trained" if trained else " random-init"),
@@ -177,40 +202,82 @@ def main(argv=None) -> int:
         result["objects"] = m
 
     if args.uhd:
-        # Config 5: 4K NV12 input, tracking + full on-device HUD composite
-        # on the luma plane; nothing leaves the device but the 5 floats.
-        from gstreamer_vit_tracker_tpu.ops import overlay, overlay_nv12
+        # Config 5: 4K NV12 input; EVERY tracked frame gets the full
+        # on-device HUD (state/fps/trk text, live score digits, bbox rect +
+        # crosshair) composited onto its luma plane inside the scanned
+        # loop — per-frame draw cost is inside the measured region, exactly
+        # like the reference's per-frame draw pass (pipeline.rs:125-174).
+        from gstreamer_vit_tracker_tpu.ops import font as font_mod
 
         h4, w4 = 2160, 3840
-        y4 = jnp.asarray(rng.integers(0, 256, (h4, w4), dtype=np.uint8))
-        uv4 = jnp.asarray(rng.integers(0, 256, (h4 // 2, w4 // 2, 2),
+        pool4 = 4
+        ys4 = jnp.asarray(rng.integers(0, 256, (pool4, h4, w4),
                                        dtype=np.uint8))
-        st = core.init_jit(params, (y4, uv4), bbox0, cfg, frame_format="nv12")
-        hud = overlay.HudParams("TRACKING", 60.0, 1.0, 0.9, True, False,
-                                (100, 100), (0, 0), False, (900, 500, 120, 90),
-                                True)
-
-        from gstreamer_vit_tracker_tpu.tracker import scan as scan_mod
-
-        ys4 = y4[None]
-        uvs4 = uv4[None]
+        uvs4 = jnp.asarray(rng.integers(0, 256, (pool4, h4 // 2, w4 // 2, 2),
+                                        dtype=np.uint8))
+        hud_text = (font_mod.encode_text("TRACKING", 12),
+                    font_mod.encode_text("FPS: 60.0", 16),
+                    font_mod.encode_text("trk: 0.3ms", 16))
         reps = min(n, 200)
 
-        def uhd_run(state, y_img):
-            state, sc = scan_mod.update_scan_pool(params, state, (ys4, uvs4),
-                                                  reps, cfg, "nv12")
-            y_img = overlay_nv12.render_hud_luma(y_img, hud)
-            return state, sc, y_img
-
-        y_img = jnp.copy(y4)
-        st, sc, y_img = uhd_run(st, y_img)
+        st = core.init_jit(params, (ys4[0], uvs4[0]), bbox0, cfg,
+                           frame_format="nv12")
+        st, disp, sc = scan.update_scan_hud_pool(params, st, (ys4, uvs4),
+                                                 hud_text, reps, cfg)
         np.asarray(sc)
-        st = core.init_jit(params, (y4, uv4), bbox0, cfg, frame_format="nv12")
-        y_img = jnp.copy(y4)
+        np.asarray(disp[:2, :2])   # warm the slice program too
+        st = core.init_jit(params, (ys4[0], uvs4[0]), bbox0, cfg,
+                           frame_format="nv12")
         t0 = time.perf_counter()
-        st, sc, y_img = uhd_run(st, y_img)
+        st, disp, sc = scan.update_scan_hud_pool(params, st, (ys4, uvs4),
+                                                 hud_text, reps, cfg)
         np.asarray(sc)
+        np.asarray(disp[:2, :2])   # the display buffer is real
         result["uhd_fps"] = round(reps / (time.perf_counter() - t0), 1)
+        result["uhd_hud"] = "per-frame on-device composite"
+
+    if args.ingest:
+        # Ingest-included config (BASELINE config 5's end-to-end story):
+        # every frame travels host->device before its tracked step, double-
+        # buffered so the next frame's async transfer overlaps the current
+        # step — the TPU analog of the reference's dmabuf capture feed
+        # (io-mode=4, pipeline_ir.rs:23-26).  1080p NV12 = 3.1 MB/frame.
+        np_frames = []
+        for i in range(args.pool):
+            np_frames.append(
+                (rng.integers(0, 256, (h, w), dtype=np.uint8),
+                 rng.integers(0, 256, (h // 2, w // 2, 2), dtype=np.uint8)))
+
+        state = core.init_jit(params, frames[0], bbox0, cfg,
+                              frame_format="nv12")
+        dev = jax.device_put(np_frames[0])
+        state, packed = core.update_packed_jit(params, state, dev, cfg,
+                                               frame_format="nv12")
+        np.asarray(packed)
+        n_in = min(n, 200)
+        t0 = time.perf_counter()
+        dev = jax.device_put(np_frames[0])
+        for i in range(n_in):
+            nxt = jax.device_put(np_frames[(i + 1) % args.pool])
+            state, packed = core.update_packed_jit(params, state, dev, cfg,
+                                                   frame_format="nv12")
+            dev = nxt
+        np.asarray(packed)
+        iwall = time.perf_counter() - t0
+        result["ingest_fps"] = round(n_in / iwall, 1)
+        result["ingest_mb_s"] = round(n_in * (h * w * 1.5) / iwall / 1e6, 1)
+
+        # Raw host->device bandwidth (no tracking) for attribution: if
+        # ingest_mb_s ~= h2d_mb_s the path is transfer-bound (on the dev
+        # relay the tunnel tops out around ~20 MB/s; a locally attached
+        # TPU host moves NV12 frames orders of magnitude faster).
+        t0 = time.perf_counter()
+        last = None
+        for i in range(n_in):
+            last = jax.device_put(np_frames[i % args.pool])
+        jax.block_until_ready(last)
+        rwall = time.perf_counter() - t0
+        result["h2d_mb_s"] = round(n_in * (h * w * 1.5) / rwall / 1e6, 1)
 
     print(json.dumps(result))
     return 0

@@ -25,6 +25,7 @@ from .font import FONT_TABLE, ADVANCE
 
 __all__ = ["draw_rect_luma", "draw_crosshair_luma", "draw_text_luma",
            "draw_background_luma", "draw_cursor_luma", "draw_selection_luma",
+           "draw_rect_luma_strips", "draw_crosshair_luma_strips",
            "render_hud_luma"]
 
 
@@ -101,6 +102,75 @@ def draw_selection_luma(y_plane: jnp.ndarray, start_x, start_y, cur_x, cur_y,
     vert = ((c == x1) | (c == x2)) & (r >= y1) & (r <= y2) & dash_r
     m = (horiz | vert) & jnp.asarray(enable)
     return jnp.where(m, jnp.asarray(255, y_plane.dtype), y_plane)
+
+
+def draw_rect_luma_strips(y_plane: jnp.ndarray, x, y, w, h, thickness: int,
+                          brightness: int) -> jnp.ndarray:
+    """Strip-update variant of :func:`draw_rect_luma` for hot loops.
+
+    Identical pixels (equivalence is test-pinned for in-frame rects), but
+    writes four thin dynamic slices — two ``(t, W)`` rows and two ``(H, t)``
+    columns — instead of a full-plane masked ``where``.  On a 4K luma the
+    masked pass touches ~17 MB/edge; the strips touch ~36 KB total, which
+    is what keeps the per-frame HUD composite off the benchmark's critical
+    path (bench --uhd).
+    """
+    H, W = y_plane.shape
+    t = thickness
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    w = jnp.asarray(w, jnp.int32)
+    h = jnp.asarray(h, jnp.int32)
+    x1 = jnp.maximum(x, 0)
+    y1 = jnp.maximum(y, 0)
+    x2 = jnp.minimum(x + w, W - 1)
+    y2 = jnp.minimum(y + h, H - 1)
+    bright = jnp.asarray(brightness, y_plane.dtype)
+
+    def hstrip(plane, row_lo, cond_rows):
+        row0 = jnp.clip(row_lo, 0, H - t)
+        strip = jax.lax.dynamic_slice(plane, (row0, 0), (t, W))
+        r = row0 + jax.lax.broadcasted_iota(jnp.int32, (t, W), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (t, W), 1)
+        m = cond_rows(r) & (c >= x1) & (c <= x2)
+        strip = jnp.where(m, bright, strip)
+        return jax.lax.dynamic_update_slice(plane, strip, (row0, 0))
+
+    def vstrip(plane, col_lo, cond_cols):
+        col0 = jnp.clip(col_lo, 0, W - t)
+        strip = jax.lax.dynamic_slice(plane, (0, col0), (H, t))
+        r = jax.lax.broadcasted_iota(jnp.int32, (H, t), 0)
+        c = col0 + jax.lax.broadcasted_iota(jnp.int32, (H, t), 1)
+        m = cond_cols(c) & (r >= y1) & (r <= y2)
+        strip = jnp.where(m, bright, strip)
+        return jax.lax.dynamic_update_slice(plane, strip, (0, col0))
+
+    y_plane = hstrip(y_plane, y1, lambda r: (r >= y1) & (r < y1 + t))
+    y_plane = hstrip(y_plane, y2 - t + 1, lambda r: (r <= y2) & (r > y2 - t))
+    y_plane = vstrip(y_plane, x1, lambda c: (c >= x1) & (c < x1 + t))
+    y_plane = vstrip(y_plane, x2 - t + 1, lambda c: (c <= x2) & (c > x2 - t))
+    return y_plane
+
+
+def draw_crosshair_luma_strips(y_plane: jnp.ndarray, cx, cy, size: int,
+                               brightness: int) -> jnp.ndarray:
+    """Strip-update variant of :func:`draw_crosshair_luma`: one
+    ``(2*size+1, 2*size+1)`` block update instead of a full-plane mask.
+    Pixel-identical for centres inside (or near) the frame — the block
+    origin clamps so truncated arms at the borders still land inside it."""
+    H, W = y_plane.shape
+    side = 2 * size + 1
+    cx = jnp.maximum(jnp.asarray(cx, jnp.int32), 0)
+    cy = jnp.maximum(jnp.asarray(cy, jnp.int32), 0)
+    row0 = jnp.clip(cy - size, 0, max(H - side, 0))
+    col0 = jnp.clip(cx - size, 0, max(W - side, 0))
+    block = jax.lax.dynamic_slice(y_plane, (row0, col0), (side, side))
+    r = row0 + jax.lax.broadcasted_iota(jnp.int32, (side, side), 0)
+    c = col0 + jax.lax.broadcasted_iota(jnp.int32, (side, side), 1)
+    m = (((r == cy) & (jnp.abs(c - cx) <= size))
+         | ((c == cx) & (jnp.abs(r - cy) <= size)))
+    block = jnp.where(m, jnp.asarray(brightness, y_plane.dtype), block)
+    return jax.lax.dynamic_update_slice(y_plane, block, (row0, col0))
 
 
 def draw_background_luma(y_plane: jnp.ndarray, x: int, y: int, w: int, h: int,

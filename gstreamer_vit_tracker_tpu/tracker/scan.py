@@ -42,11 +42,9 @@ def update_scan(params: Params, state: TrackState, frames, cfg: ModelConfig,
         st, bbox, conf = core.update(params, st, frame, cfg, frame_format)
         return st, (bbox, conf)
 
-    if frame_format == "nv12":
-        xs = frames            # tuple of stacked planes scans elementwise
-    else:
-        xs = frames
-    state, (bboxes, scores) = jax.lax.scan(body, state, xs)
+    # NV12 frames arrive as a tuple of stacked planes; lax.scan slices
+    # pytree leaves elementwise, so both layouts scan directly.
+    state, (bboxes, scores) = jax.lax.scan(body, state, frames)
     return state, bboxes, scores
 
 
@@ -75,3 +73,72 @@ def update_scan_pool(params: Params, state: TrackState, frames, reps: int,
 
     state, scores = jax.lax.scan(body, state, jnp.arange(reps))
     return state, scores
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "reps"),
+                   donate_argnums=(1,))
+def update_scan_hud_pool(params: Params, state: TrackState, frames,
+                         hud_text, reps: int, cfg: ModelConfig
+                         ) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+    """Config-5 serving shape: EVERY tracked frame gets the full luma HUD
+    composited on-device before reaching the display buffer.
+
+    Mirrors the reference's per-frame draw pass (state text, FPS line,
+    track-ms line, live score %, bbox rect + crosshair — pipeline.rs:
+    125-174) inside the scanned hot loop: per frame the tracker step runs,
+    the score percentage digits are rendered *on-device* from the live
+    confidence, and the whole HUD is masked onto that frame's Y plane.
+    The carry holds one composited display buffer that each frame
+    overwrites — the TPU analog of the reference's leaky display queue
+    (``max-size-buffers=3 leaky=downstream``, pipeline_ir.rs:75-78): a
+    slow consumer sees only the newest frame, but every frame pays full
+    composite cost.
+
+    ``frames``: NV12 pool ((P, H, W), (P, H/2, W/2, 2)).  ``hud_text``:
+    ((state_chars, state_n), (fps_chars, fps_n), (trk_chars, trk_n)) glyph
+    index arrays from ops.font.encode_text.  Returns (state, display_luma
+    (H, W) uint8, scores (reps,)).
+    """
+    from ..ops import font as font_mod
+    from ..ops import overlay_nv12 as ol
+
+    ys, uvs = frames
+    pool = ys.shape[0]
+    (state_chars, state_n), (fps_chars, fps_n), (trk_chars, trk_n) = hud_text
+    # "score: XX.X%" — static prefix, live digits (glyph indices 0-9 ARE
+    # the digit values), rendered on-device from the per-frame confidence.
+    prefix, _ = font_mod.encode_text("score: ", 7)
+    dot = jnp.asarray(font_mod.FONT_CHARS.index("."), jnp.int32)
+    pct = jnp.asarray(font_mod.FONT_CHARS.index("%"), jnp.int32)
+    prefix = jnp.asarray(prefix)
+
+    def body(carry, i):
+        st, disp = carry
+        frame = (ys[i % pool], uvs[i % pool])
+        st, bbox, conf = core.update(params, st, frame, cfg, "nv12")
+
+        v = jnp.clip(jnp.round(conf * 1000.0), 0, 999).astype(jnp.int32)
+        digits = jnp.stack([v // 100, (v // 10) % 10])
+        score_chars = jnp.concatenate(
+            [prefix, digits, dot[None], v[None] % 10, pct[None]])
+
+        luma = ys[i % pool]
+        luma = ol.draw_text_luma(luma, state_chars, state_n, 15, 15, 2, 255)
+        luma = ol.draw_text_luma(luma, fps_chars, fps_n, 15, 40, 2, 255)
+        luma = ol.draw_text_luma(luma, trk_chars, trk_n, 15, 65, 1, 200)
+        luma = ol.draw_text_luma(luma, score_chars, score_chars.shape[0],
+                                 200, 15, 2, 255, enable=conf > 0.25)
+        bb = bbox.astype(jnp.int32)
+        luma = ol.draw_rect_luma_strips(luma, bb[0], bb[1], bb[2], bb[3],
+                                        3, 255)
+        luma = ol.draw_crosshair_luma_strips(luma, bb[0] + bb[2] // 2,
+                                             bb[1] + bb[3] // 2, 15, 255)
+        # Overwrite the display buffer (leaky-sink semantics); XLA aliases
+        # the carry slot so this is an in-place composite, not a growth.
+        del disp
+        return (st, luma), conf
+
+    disp0 = jnp.zeros_like(ys[0])
+    (state, disp), scores = jax.lax.scan(body, (state, disp0),
+                                         jnp.arange(reps))
+    return state, disp, scores

@@ -83,3 +83,27 @@ def test_selection_luma_dashes():
     for y in range(21, 60):
         expected = 255 if (y // 6) % 2 == 0 else 100
         assert got[y, 20] == expected, y
+
+
+def test_rect_strips_match_masked():
+    rng = np.random.default_rng(0)
+    for geom in [(10, 12, 40, 30, 3), (100, 70, 60, 60, 2),
+                 (0, 0, 127, 95, 3), (90, 60, 37, 35, 1)]:
+        x, yy, w, h, t = geom
+        base = rng.integers(0, 256, (96, 128), dtype=np.uint8)
+        want = np.asarray(overlay_nv12.draw_rect_luma(
+            jnp.asarray(base), x, yy, w, h, t, 255))
+        got = np.asarray(overlay_nv12.draw_rect_luma_strips(
+            jnp.asarray(base), x, yy, w, h, t, 255))
+        np.testing.assert_array_equal(got, want, err_msg=str(geom))
+
+
+def test_crosshair_strips_match_masked():
+    rng = np.random.default_rng(1)
+    for cx, cy in [(64, 48), (3, 3), (125, 93), (0, 48), (64, 95)]:
+        base = rng.integers(0, 256, (96, 128), dtype=np.uint8)
+        want = np.asarray(overlay_nv12.draw_crosshair_luma(
+            jnp.asarray(base), cx, cy, 15, 255))
+        got = np.asarray(overlay_nv12.draw_crosshair_luma_strips(
+            jnp.asarray(base), cx, cy, 15, 255))
+        np.testing.assert_array_equal(got, want, err_msg=str((cx, cy)))

@@ -52,6 +52,33 @@ def test_scan_nv12_and_pool():
     assert int(st2.frame_idx) == 12
 
 
+def test_scan_hud_pool_composites_every_frame():
+    from gstreamer_vit_tracker_tpu.ops import font
+
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    src = SyntheticSource(256, 192, obj_size=32, seed=1, fmt="nv12")
+    y0, uv0 = src.frame(0)
+    ys = jnp.stack([jnp.asarray(src.frame(i)[0]) for i in range(3)])
+    uvs = jnp.stack([jnp.asarray(src.frame(i)[1]) for i in range(3)])
+    st = core.init(params, (jnp.asarray(y0), jnp.asarray(uv0)),
+                   jnp.asarray(src.bbox_at(0)), CORR, frame_format="nv12")
+    hud_text = (font.encode_text("TRACKING", 12),
+                font.encode_text("FPS: 60.0", 16),
+                font.encode_text("trk: 0.3ms", 16))
+    st2, disp, scores = scan.update_scan_hud_pool(params, st, (ys, uvs),
+                                                  hud_text, 5, CORR)
+    assert scores.shape == (5,)
+    assert int(st2.frame_idx) == 5
+    disp = np.asarray(disp)
+    # State text at (15, 15) scale 2: the 'T' glyph's top row is lit 255.
+    assert (disp[15:29, 15:27] == 255).any()
+    # The display buffer is the LAST frame (pool index 4 % 3 == 1) plus a
+    # sparse HUD: most pixels pass through untouched, some are overwritten.
+    src_luma = np.asarray(ys[1])
+    diff_frac = (disp != src_luma).mean()
+    assert 0.0 < diff_frac < 0.05
+
+
 def test_update_packed_matches_unpacked():
     params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
     src = SyntheticSource(320, 256, obj_size=48, seed=3)
