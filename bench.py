@@ -155,22 +155,31 @@ def main(argv=None) -> int:
     }
 
     if args.streams:
+        # Config 4: S independent 1080p streams per batched step, run as
+        # ONE scanned on-device program over the frame pool (the bulk-
+        # serving shape; the per-call Python dispatch path is measured by
+        # python_loop_fps above).
         from gstreamer_vit_tracker_tpu.tracker import multi
 
         s = args.streams
-        ys = jnp.stack([frames[i % args.pool][0] for i in range(s)])
-        uvs = jnp.stack([frames[i % args.pool][1] for i in range(s)])
+        ys0 = jnp.stack([frames[i % args.pool][0] for i in range(s)])
+        uvs0 = jnp.stack([frames[i % args.pool][1] for i in range(s)])
         bbs = jnp.tile(bbox0[None, None], (s, 1, 1))
-        st = multi.init_streams(params, (ys, uvs), bbs, cfg, "nv12")
         active = jnp.ones((s, 1), bool)
-        st, bx, sc = multi.update_streams_jit(params, st, (ys, uvs), active,
-                                              cfg, "nv12")
-        np.asarray(sc)
+        pool_ys = jnp.stack([f[0] for f in frames])
+        pool_uvs = jnp.stack([f[1] for f in frames])
         reps = max(1, n // s)
+
+        st = multi.init_streams(params, (ys0, uvs0), bbs, cfg, "nv12")
+        st, sc = scan.update_streams_scan_pool(params, st,
+                                               (pool_ys, pool_uvs), active,
+                                               reps, cfg, "nv12")
+        np.asarray(sc)
+        st = multi.init_streams(params, (ys0, uvs0), bbs, cfg, "nv12")
         t0 = time.perf_counter()
-        for _ in range(reps):
-            st, bx, sc = multi.update_streams_jit(params, st, (ys, uvs),
-                                                  active, cfg, "nv12")
+        st, sc = scan.update_streams_scan_pool(params, st,
+                                               (pool_ys, pool_uvs), active,
+                                               reps, cfg, "nv12")
         np.asarray(sc)
         swall = time.perf_counter() - t0
         result["stream_fps_total"] = round(reps * s / swall, 1)
@@ -178,7 +187,7 @@ def main(argv=None) -> int:
 
     if args.objects:
         # Config 3: N targets in one shared 1080p frame, online template
-        # update enabled, one batched step per frame.
+        # update enabled, one scanned batched step per frame.
         import dataclasses
 
         from gstreamer_vit_tracker_tpu.tracker import multi
@@ -187,18 +196,24 @@ def main(argv=None) -> int:
         m = args.objects
         bbs = jnp.asarray(np.tile([900.0, 500.0, 120.0, 90.0], (m, 1))
                           + np.arange(m)[:, None] * np.asarray([40.0, 20.0, 0, 0]))
-        st = multi.init_objects(params, frames[0], bbs, mcfg, "nv12")
         active = jnp.ones((m,), bool)
-        st, bx, sc = multi.update_objects_jit(params, st, frames[0], active,
-                                              mcfg, "nv12")
-        np.asarray(sc)
+        pool_ys = jnp.stack([f[0] for f in frames])
+        pool_uvs = jnp.stack([f[1] for f in frames])
         reps = max(1, n // m)
-        t0 = time.perf_counter()
-        for i in range(reps):
-            st, bx, sc = multi.update_objects_jit(
-                params, st, frames[i % args.pool], active, mcfg, "nv12")
+
+        st = multi.init_objects(params, frames[0], bbs, mcfg, "nv12")
+        st, sc = scan.update_objects_scan_pool(params, st,
+                                               (pool_ys, pool_uvs), active,
+                                               reps, mcfg, "nv12")
         np.asarray(sc)
-        result["object_tracks_per_s"] = round(reps * m / (time.perf_counter() - t0), 1)
+        st = multi.init_objects(params, frames[0], bbs, mcfg, "nv12")
+        t0 = time.perf_counter()
+        st, sc = scan.update_objects_scan_pool(params, st,
+                                               (pool_ys, pool_uvs), active,
+                                               reps, mcfg, "nv12")
+        np.asarray(sc)
+        result["object_tracks_per_s"] = round(
+            reps * m / (time.perf_counter() - t0), 1)
         result["objects"] = m
 
     if args.uhd:

@@ -10,8 +10,9 @@ into one token sequence, and encoded jointly by a standard pre-LN ViT.
 Design notes (TPU-first):
 * patch embedding is a reshape + single MXU matmul (no conv op needed for
   stride == kernel);
-* attention uses the Pallas flash-attention kernel (ops/attention.py) on
-  TPU and a trusted XLA reference on CPU;
+* attention auto-dispatches between the Pallas flash-attention kernel and
+  plain XLA softmax by measured crossover (ops/attention.py — XLA wins at
+  tracker sequence lengths, the kernel past ~512 padded tokens);
 * everything is shape-static and jit/vmap/pjit-friendly; params are plain
   nested dicts so sharding rules can be applied with tree paths.
 """

@@ -103,6 +103,16 @@ def _single_block_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 # Sequences up to this many (padded) tokens take the single-block path.
 SINGLE_BLOCK_MAX = 1024
 
+# Below this padded length, plain XLA attention beats the Pallas kernel and
+# is auto-selected (use_pallas=None).  Measured on v5e with the flagship
+# tracker (320 -> 384 padded tokens, head dim 64): XLA 0.090 vs Pallas
+# 0.113 ms/forward at batch 1, 1.09 vs 1.48 ms at batch 16 — at short
+# sequence lengths the kernel's per-(batch x head) grid-program overhead
+# dominates and the S^2 score matrix is tiny, so there is nothing for
+# flash attention's streaming to save.  Callers can still force either
+# path explicitly (tests pin Pallas-vs-XLA numerical parity).
+XLA_FASTER_BELOW = 512
+
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = 128, block_k: int = 128,
@@ -197,11 +207,13 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         num_heads: int, use_pallas: bool | None = None) -> jnp.ndarray:
-    """Split (B, S, D_model) into heads, run flash attention, merge.
+    """Split (B, S, D_model) into heads, run attention, merge.
 
-    ``use_pallas=None`` selects the Pallas kernel on TPU and on CPU runs it
-    in interpret mode only under tests that ask for it — the plain XLA
-    reference is used otherwise (interpret mode is slow).
+    ``use_pallas=None`` auto-selects: the Pallas flash-attention kernel on
+    TPU for sequences past the measured crossover (``XLA_FASTER_BELOW``),
+    the plain XLA softmax otherwise (it wins at tracker sequence lengths —
+    see the crossover note above).  On CPU the Pallas kernel only runs in
+    interpret mode when a test asks for it explicitly.
     """
     b, s, dm = q.shape
     dh = dm // num_heads
@@ -211,7 +223,9 @@ def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     qh, kh, vh = split(q), split(k), split(v)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        s_pad = -(-s // 128) * 128
+        use_pallas = (jax.default_backend() == "tpu"
+                      and s_pad >= XLA_FASTER_BELOW)
     if use_pallas:
         flat = lambda x: x.reshape(b * num_heads, s, dh)
         out = flash_attention(flat(qh), flat(kh), flat(vh))

@@ -75,6 +75,75 @@ def update_scan_pool(params: Params, state: TrackState, frames, reps: int,
     return state, scores
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format", "reps"),
+                   donate_argnums=(1,))
+def update_streams_scan_pool(params: Params, state: TrackState, frames,
+                             active: jnp.ndarray, reps: int, cfg: ModelConfig,
+                             frame_format: str = "nv12"
+                             ) -> Tuple[TrackState, jnp.ndarray]:
+    """``reps`` batched multi-stream steps as ONE scanned XLA program.
+
+    The bulk-serving shape for BASELINE config 4: S independent streams
+    advance together, each stream s reading pool frame ``(i + s) % P`` so
+    content differs across streams without duplicating the pool in HBM.
+    ``state`` is a (S, M)-leading TrackState from multi.init_streams;
+    ``active`` (S, M) bool is constant across the scan.  Returns (state,
+    scores (reps, S, M)) — one host fetch for the whole run.
+    """
+    from . import multi
+
+    if frame_format == "nv12":
+        pool = frames[0].shape[0]
+    else:
+        pool = frames.shape[0]
+    n_streams = active.shape[0]
+
+    def pick(i):
+        idx = (i + jnp.arange(n_streams)) % pool
+        if frame_format == "nv12":
+            return (frames[0][idx], frames[1][idx])
+        return frames[idx]
+
+    def body(st, i):
+        st, _bx, sc = multi.update_streams(params, st, pick(i), active, cfg,
+                                           frame_format)
+        return st, sc
+
+    state, scores = jax.lax.scan(body, state, jnp.arange(reps))
+    return state, scores
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format", "reps"),
+                   donate_argnums=(1,))
+def update_objects_scan_pool(params: Params, state: TrackState, frames,
+                             active: jnp.ndarray, reps: int, cfg: ModelConfig,
+                             frame_format: str = "nv12"
+                             ) -> Tuple[TrackState, jnp.ndarray]:
+    """``reps`` multi-object steps (N targets, one shared frame per step)
+    as one scanned program, cycling the frame pool (BASELINE config 3).
+    Returns (state, scores (reps, N))."""
+    from . import multi
+
+    if frame_format == "nv12":
+        pool = frames[0].shape[0]
+
+        def pick(i):
+            return (frames[0][i % pool], frames[1][i % pool])
+    else:
+        pool = frames.shape[0]
+
+        def pick(i):
+            return frames[i % pool]
+
+    def body(st, i):
+        st, _bx, sc = multi.update_objects(params, st, pick(i), active, cfg,
+                                           frame_format)
+        return st, sc
+
+    state, scores = jax.lax.scan(body, state, jnp.arange(reps))
+    return state, scores
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "reps"),
                    donate_argnums=(1,))
 def update_scan_hud_pool(params: Params, state: TrackState, frames,

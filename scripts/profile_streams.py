@@ -13,9 +13,14 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import functools
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
 
 
 def main() -> int:

@@ -79,6 +79,58 @@ def test_scan_hud_pool_composites_every_frame():
     assert 0.0 < diff_frac < 0.05
 
 
+def test_streams_scan_matches_loop():
+    from gstreamer_vit_tracker_tpu.tracker import multi
+
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    pool, s = 3, 2
+    src = SyntheticSource(160, 128, obj_size=32, seed=1, fmt="nv12")
+    pool_ys = jnp.stack([jnp.asarray(src.frame(i)[0]) for i in range(pool)])
+    pool_uvs = jnp.stack([jnp.asarray(src.frame(i)[1]) for i in range(pool)])
+    bb0 = jnp.asarray(src.bbox_at(0))
+    bbs = jnp.tile(bb0[None, None], (s, 1, 1))
+    active = jnp.ones((s, 1), bool)
+    ys0 = pool_ys[:s]
+    uvs0 = pool_uvs[:s]
+
+    st_a = multi.init_streams(params, (ys0, uvs0), bbs, CORR, "nv12")
+    st_b = jax.tree.map(jnp.copy, st_a)
+
+    reps = 4
+    loop_scores = []
+    for i in range(reps):
+        idx = np.array([(i + k) % pool for k in range(s)])
+        fr = (pool_ys[idx], pool_uvs[idx])
+        st_a, _bx, sc = multi.update_streams(params, st_a, fr, active, CORR,
+                                             "nv12")
+        loop_scores.append(np.asarray(sc))
+
+    st_c, scores = scan.update_streams_scan_pool(
+        params, st_b, (pool_ys, pool_uvs), active, reps, CORR, "nv12")
+    np.testing.assert_allclose(np.asarray(scores), np.stack(loop_scores),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_c.bbox), np.asarray(st_a.bbox),
+                               atol=1e-3)
+
+
+def test_objects_scan_pool_runs():
+    from gstreamer_vit_tracker_tpu.tracker import multi
+
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    src = SyntheticSource(160, 128, obj_size=32, seed=1, fmt="nv12")
+    pool_ys = jnp.stack([jnp.asarray(src.frame(i)[0]) for i in range(3)])
+    pool_uvs = jnp.stack([jnp.asarray(src.frame(i)[1]) for i in range(3)])
+    bb0 = np.asarray(src.bbox_at(0), np.float32)
+    bbs = jnp.asarray(np.stack([bb0, bb0 + [8, 4, 0, 0]]))
+    active = jnp.ones((2,), bool)
+    st = multi.init_objects(params, (pool_ys[0], pool_uvs[0]), bbs, CORR,
+                            "nv12")
+    st, scores = scan.update_objects_scan_pool(
+        params, st, (pool_ys, pool_uvs), active, 5, CORR, "nv12")
+    assert scores.shape == (5, 2)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
 def test_update_packed_matches_unpacked():
     params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
     src = SyntheticSource(320, 256, obj_size=48, seed=3)
