@@ -33,7 +33,7 @@ import time
 import numpy as np
 
 from ..config import AppConfig, ModelConfig
-from ..media.sink import FileSink, NullSink
+from ..media.sink import FileSink, MJPEGSink, MultiSink, NullSink
 from ..media.source import FileSource, SyntheticSource, V4L2Source
 from ..ops import overlay
 from ..session.machine import JaxTrackerBackend, TrackerSession
@@ -73,6 +73,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--headless", action="store_true",
                     help="no keyboard; auto-init on the synthetic target")
     ap.add_argument("--record", default="", help="write frames to this .npy")
+    ap.add_argument("--preview", type=int, default=-1, metavar="PORT",
+                    help="serve a live MJPEG preview on this HTTP port "
+                         "(0 = ephemeral port; the headless analog of the "
+                         "reference's kmssink display, pipeline_ir.rs:80-84)")
     ap.add_argument("--display-scale", action="store_true",
                     help="upscale output frames to the display resolution "
                          "on device (the reference's rgaconvert hardware "
@@ -157,7 +161,19 @@ def main(argv=None) -> int:
     session = TrackerSession(backend, width, height, app_cfg.session)
     stats = TimingStats(app_cfg.telemetry.window)
     phases = PhaseTimer()   # map/track/draw micro-breakdown (pipeline_ir.rs:126-208)
-    sink = FileSink(args.record) if args.record else NullSink()
+    sinks = []
+    if args.record:
+        sinks.append(FileSink(args.record))
+    if args.preview >= 0:
+        preview = MJPEGSink(args.preview)
+        print(f"live preview: http://0.0.0.0:{preview.port}/")
+        sinks.append(preview)
+    if len(sinks) == 0:
+        sink = NullSink()
+    elif len(sinks) == 1:
+        sink = sinks[0]
+    else:
+        sink = MultiSink(*sinks)
 
     running = threading.Event()
     running.set()
@@ -309,9 +325,11 @@ def _run_frame(args, src, session, stats, phases, sink, app_cfg,
     phases.totals["draw"] = phases.totals.get("draw", 0.0) + (
         time.perf_counter() - t_draw)
     phases.counts["draw"] = phases.counts.get("draw", 0) + 1
-    # Only recording sinks need the pixels on the host; the null
-    # sink keeps the frame on device (no transfer).
-    sink.write(np.asarray(out) if isinstance(sink, FileSink) else out)
+    # Only recording sinks need host pixels at write time; the null sink
+    # keeps the frame on device (no transfer) and the MJPEG preview
+    # fetches lazily on its own handler thread, per connected client.
+    sink.write(np.asarray(out) if getattr(sink, "wants_host_pixels", False)
+               else out)
     # Bound in-flight device work (the reference's leaky queue caps
     # buffers at 3, pipeline_ir.rs:75-78): an unpaced loop can
     # otherwise flood the dispatch queue and starve later compiles.

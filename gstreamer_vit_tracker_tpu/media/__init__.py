@@ -2,6 +2,6 @@
 
 from . import queue, sink, source  # noqa: F401
 from .queue import FrameQueue  # noqa: F401
-from .sink import FileSink, NullSink  # noqa: F401
+from .sink import FileSink, MJPEGSink, MultiSink, NullSink  # noqa: F401
 from .source import (FileSource, FlakySource, SyntheticSource,  # noqa: F401
                      V4L2Source)

@@ -1,14 +1,20 @@
-"""Frame sinks: file recording and a null display stand-in.
+"""Frame sinks: file recording, a null stand-in, and a live MJPEG preview.
 
-The reference displays through DRM/KMS (``kmssink`` with ``sync=false``,
-/root/reference/src/pipeline_ir.rs:80-84).  Headless TPU hosts have no
-display plane; the equivalents here are a recording sink (for golden
-inspection) and a null sink that only counts frames — both honour the
-"never block the processing path" contract.
+The reference displays through DRM/KMS (``kmssink`` with ``sync=false`` on
+a leaky queue, /root/reference/src/pipeline_ir.rs:75-84).  Headless TPU
+hosts have no display plane; the equivalents here are a recording sink
+(for golden inspection), a null sink that only counts frames, and
+:class:`MJPEGSink` — an HTTP ``multipart/x-mixed-replace`` stream any
+browser can open, with the same display semantics as the reference's
+sink: a slow viewer always sees the newest frame and the processing path
+never blocks on display.  All sinks honour the "never block the
+processing path" contract.
 """
 
 from __future__ import annotations
 
+import threading
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -29,8 +35,142 @@ class NullSink:
         pass
 
 
+def _encode_jpeg(rgb_or_luma: np.ndarray, quality: int) -> bytes:
+    """uint8 (H, W, 3) RGB or (H, W) luma -> JPEG bytes (cv2 or PIL)."""
+    arr = np.asarray(rgb_or_luma, dtype=np.uint8)
+    try:
+        import cv2
+
+        bgr = arr[..., ::-1] if arr.ndim == 3 else arr
+        ok, buf = cv2.imencode(".jpg", bgr,
+                               [int(cv2.IMWRITE_JPEG_QUALITY), quality])
+        if ok:
+            return buf.tobytes()
+    except ImportError:
+        pass
+    import io
+
+    from PIL import Image
+
+    mode = "RGB" if arr.ndim == 3 else "L"
+    out = io.BytesIO()
+    Image.fromarray(arr, mode).save(out, "JPEG", quality=quality)
+    return out.getvalue()
+
+
+class MJPEGSink:
+    """Live preview: MJPEG over HTTP (``multipart/x-mixed-replace``).
+
+    Display analog of the reference's ``kmssink sync=false`` behind the
+    drop-oldest queue (pipeline_ir.rs:75-84): ``write`` only swaps in a
+    reference to the newest frame; the device->host fetch and JPEG encode
+    happen lazily on the HTTP handler thread, per connected client — so a
+    slow (or absent) viewer costs the tracking loop nothing and always
+    sees the newest frame when it catches up.
+
+    ``port=0`` binds an ephemeral port (see ``.port``).  Open
+    ``http://<host>:<port>/`` in a browser.
+    """
+
+    def __init__(self, port: int = 8080, quality: int = 80,
+                 max_fps: float = 60.0):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.frames = 0
+        self.quality = quality
+        self._latest = None          # newest frame (device or host array)
+        self._seq = 0                # bumped per write; clients wait on it
+        self._cv = threading.Condition()
+        sink = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):   # quiet: no per-request stderr spam
+                pass
+
+            def do_GET(self):
+                if self.path not in ("/", "/stream"):
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                min_interval = 1.0 / max_fps
+                sent_seq = -1
+                try:
+                    while True:
+                        with sink._cv:
+                            sink._cv.wait_for(
+                                lambda: sink._seq != sent_seq, timeout=1.0)
+                            frame, seq = sink._latest, sink._seq
+                        if frame is None or seq == sent_seq:
+                            continue
+                        sent_seq = seq
+                        t0 = time.monotonic()
+                        jpg = _encode_jpeg(np.asarray(frame), sink.quality)
+                        self.wfile.write(
+                            b"--frame\r\nContent-Type: image/jpeg\r\n"
+                            + f"Content-Length: {len(jpg)}\r\n\r\n".encode()
+                            + jpg + b"\r\n")
+                        dt = time.monotonic() - t0
+                        if dt < min_interval:
+                            time.sleep(min_interval - dt)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def write(self, frame) -> None:
+        self.frames += 1
+        with self._cv:
+            self._latest = frame
+            self._seq += 1
+            self._cv.notify_all()
+
+    @property
+    def last_frame(self):
+        return self._latest
+
+    def close(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=2.0)
+
+
+class MultiSink:
+    """Fan a frame out to several sinks (e.g. record + live preview)."""
+
+    def __init__(self, *sinks):
+        self.sinks = [s for s in sinks if s is not None]
+
+    def write(self, frame) -> None:
+        for s in self.sinks:
+            s.write(frame)
+
+    def close(self) -> None:
+        for s in self.sinks:
+            s.close()
+
+    @property
+    def wants_host_pixels(self) -> bool:
+        return any(getattr(s, "wants_host_pixels", False) for s in self.sinks)
+
+    @property
+    def frames(self) -> int:
+        return max((s.frames for s in self.sinks), default=0)
+
+
 class FileSink:
     """Collects frames and writes an (N, H, W, 3) uint8 .npy on close."""
+
+    wants_host_pixels = True   # write() snapshots pixels; callers fetch
 
     def __init__(self, path: str, max_frames: int = 10_000):
         self.path = path
