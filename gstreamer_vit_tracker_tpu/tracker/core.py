@@ -101,7 +101,11 @@ def init(params: Params, frame, bbox: jnp.ndarray, cfg: ModelConfig,
         # Distinct buffer (not an alias of z_tok): donated updates would
         # otherwise donate one buffer twice ("donate(a), donate(a)").
         z_tok_init=jnp.copy(z_tok),
-        bbox=bbox,
+        # Fresh buffer: with an eager (non-jit) init, asarray on an
+        # already-f32 bbox is the identity, so the state would alias the
+        # caller's array — the first donated update would then delete the
+        # caller's bbox out from under any later re-init with it.
+        bbox=jnp.copy(bbox),
         score=jnp.ones((), jnp.float32),
         frame_idx=jnp.zeros((), jnp.int32),
     )

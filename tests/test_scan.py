@@ -113,6 +113,28 @@ def test_streams_scan_matches_loop():
                                atol=1e-3)
 
 
+def test_reinit_after_donated_scan_keeps_caller_buffers():
+    """Donating the scanned state must not delete the caller's bbox array:
+    eager init must copy it into TrackState (the bench re-inits with the
+    same bboxes after the warmup scan — regression for the aliased-donation
+    crash)."""
+    from gstreamer_vit_tracker_tpu.tracker import multi
+
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    src = SyntheticSource(160, 128, obj_size=32, seed=1, fmt="nv12")
+    pool_ys = jnp.stack([jnp.asarray(src.frame(i)[0]) for i in range(2)])
+    pool_uvs = jnp.stack([jnp.asarray(src.frame(i)[1]) for i in range(2)])
+    bbs = jnp.tile(jnp.asarray(src.bbox_at(0))[None, None], (2, 1, 1))
+    active = jnp.ones((2, 1), bool)
+
+    st = multi.init_streams(params, (pool_ys, pool_uvs), bbs, CORR, "nv12")
+    st, _ = scan.update_streams_scan_pool(     # donates st (and its .bbox)
+        params, st, (pool_ys, pool_uvs), active, 2, CORR, "nv12")
+    # Re-init with the SAME caller arrays — must not see deleted buffers.
+    st2 = multi.init_streams(params, (pool_ys, pool_uvs), bbs, CORR, "nv12")
+    assert np.isfinite(np.asarray(st2.bbox)).all()
+
+
 def test_objects_scan_pool_runs():
     from gstreamer_vit_tracker_tpu.tracker import multi
 
