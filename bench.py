@@ -55,6 +55,10 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from gstreamer_vit_tracker_tpu.utils import compile_cache
+
+    compile_cache.enable()   # compile each program once per machine
+
     from gstreamer_vit_tracker_tpu.config import ModelConfig
     from gstreamer_vit_tracker_tpu.models import vittrack
     from gstreamer_vit_tracker_tpu.tracker import core

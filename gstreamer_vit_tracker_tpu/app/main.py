@@ -130,6 +130,9 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from ..utils import compile_cache
+
+    compile_cache.enable()   # startup compiles once per machine, not per run
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
 
     src = make_source(args)

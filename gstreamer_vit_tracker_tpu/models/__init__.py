@@ -1,4 +1,4 @@
 """Model family: ViT backbone, VitTrack heads, weight persistence."""
 
-from . import heads, vit, vittrack, weights  # noqa: F401
+from . import heads, import_onnx, vit, vittrack, weights  # noqa: F401
 from .vittrack import TrackMaps, forward, init_params, embed_template  # noqa: F401

@@ -20,6 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from gstreamer_vit_tracker_tpu.config import ModelConfig
+from gstreamer_vit_tracker_tpu.utils import compile_cache
+
+compile_cache.enable()
 from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
 from gstreamer_vit_tracker_tpu.models import vittrack, weights
 from gstreamer_vit_tracker_tpu.tracker import core

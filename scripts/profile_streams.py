@@ -37,6 +37,10 @@ def main() -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from gstreamer_vit_tracker_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     import jax.numpy as jnp
 
     from gstreamer_vit_tracker_tpu.config import ModelConfig

@@ -38,6 +38,9 @@ from gstreamer_vit_tracker_tpu.models import vittrack, weights
 from gstreamer_vit_tracker_tpu.train import (create_train_state, data,
                                              train_scan)
 from gstreamer_vit_tracker_tpu.train.step import make_optimizer
+from gstreamer_vit_tracker_tpu.utils import compile_cache
+
+compile_cache.enable()
 
 PRESETS = {
     # Small conv-head model trainable in minutes.
