@@ -25,10 +25,12 @@ Two head implementations:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig
 from .vit import _trunc_normal
@@ -224,12 +226,33 @@ def decode_maps(score: jnp.ndarray, offset: jnp.ndarray, size: jnp.ndarray,
     """
     fs = score.shape[-1]
     penalised = score * (1.0 - hann_weight + hann_weight * hann)
-    idx = jnp.argmax(penalised)
-    iy, ix = idx // fs, idx % fs
-    off = offset[iy, ix]
-    sz = size[iy, ix]
-    cx = (ix.astype(jnp.float32) + off[0]) / fs
-    cy = (iy.astype(jnp.float32) + off[1]) / fs
+    flat = penalised.reshape(fs * fs)
+    # The peak cell.  Scalar gathers (offset[iy, ix] etc.) each lower to
+    # their own tiny TPU kernel; profiling put the whole decode+state tail
+    # at 0.075 ms/step — 37% of the tracking step (scripts/profile_scan.py).
+    # Instead: one-hot of the argmax (semantics identical to numpy argmax,
+    # first index wins ties — pinned by tests/test_decode_parity.py) and a
+    # single (fs^2, 6) matmul reads offset, size, AND the cell coordinates
+    # in one fused op; the confidence is just the max, no gather at all.
+    idx = jnp.argmax(flat)
+    onehot = (jax.lax.iota(jnp.int32, fs * fs) == idx).astype(jnp.float32)
+    grid = jnp.asarray(_decode_grid(fs))             # (fs*fs, 2) = (ix, iy)
+    table = jnp.concatenate(
+        [offset.reshape(fs * fs, 2).astype(jnp.float32),
+         size.reshape(fs * fs, 2).astype(jnp.float32), grid], axis=1)
+    off_sz_pos = onehot @ table                      # [ox, oy, sw, sh, ix, iy]
+    cxy = (off_sz_pos[4:6] + off_sz_pos[0:2]) / fs
+    sz = off_sz_pos[2:4]
     wh = jnp.where(sz > 0, sz, prev_size_norm)
-    conf = penalised[iy, ix]
-    return jnp.stack([cx, cy, wh[0], wh[1]]), conf
+    conf = jnp.max(flat)
+    return jnp.concatenate([cxy, wh]), conf
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_grid(fs: int) -> np.ndarray:
+    """(fs*fs, 2) float32 table of (ix, iy) per flattened score-map cell.
+
+    Cached as NUMPY (converted at use): memoising a jnp array created
+    inside a trace leaks the tracer into later traces."""
+    ii = np.arange(fs * fs)
+    return np.stack([ii % fs, ii // fs], 1).astype(np.float32)

@@ -134,16 +134,16 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
     bbox_norm, conf = heads_mod.decode_maps(
         maps.score[0], maps.offset[0], maps.size[0], hann, prev_size_norm)
 
-    # Map crop-normalised (cx, cy, w, h) back to frame pixels.
-    origin_x = window.cx - 0.5 * window.size
-    origin_y = window.cy - 0.5 * window.size
-    cx = origin_x + bbox_norm[0] * window.size
-    cy = origin_y + bbox_norm[1] * window.size
-    w = jnp.clip(bbox_norm[2] * window.size, 1.0, fw)
-    h = jnp.clip(bbox_norm[3] * window.size, 1.0, fh)
-    x = jnp.clip(cx - 0.5 * w, 0.0, fw - w)
-    y = jnp.clip(cy - 0.5 * h, 0.0, fh - h)
-    new_bbox = jnp.stack([x, y, w, h])
+    # Map crop-normalised (cx, cy, w, h) back to frame pixels — as (2,)
+    # vector ops, not per-scalar ops (each scalar op is its own tiny TPU
+    # kernel; the decode+state tail measured 0.075 ms/step before this,
+    # scripts/profile_scan.py).
+    lim = jnp.asarray([fw, fh], jnp.float32)
+    origin = jnp.stack([window.cx, window.cy]) - 0.5 * window.size
+    cxy = origin + bbox_norm[0:2] * window.size
+    wh = jnp.clip(bbox_norm[2:4] * window.size, 1.0, lim)
+    xy = jnp.clip(cxy - 0.5 * wh, 0.0, lim - wh)
+    new_bbox = jnp.concatenate([xy, wh])
 
     new_state = TrackState(
         z_tok=state.z_tok,

@@ -89,6 +89,12 @@ def update_streams_scan_pool(params: Params, state: TrackState, frames,
     ``state`` is a (S, M)-leading TrackState from multi.init_streams;
     ``active`` (S, M) bool is constant across the scan.  Returns (state,
     scores (reps, S, M)) — one host fetch for the whole run.
+
+    The per-step frame pick is a CONTIGUOUS ``dynamic_slice`` into a
+    cyclically-extended pool (built once per call, hoisted out of the
+    scan), not a row gather: a 16-row gather of 1080p uint8 planes ran at
+    ~20 GB/s effective on v5e (2.5 ms/step); the contiguous slice runs at
+    full HBM rate (scripts/profile_scan.py, docs/ARCHITECTURE.md).
     """
     from . import multi
 
@@ -97,12 +103,26 @@ def update_streams_scan_pool(params: Params, state: TrackState, frames,
     else:
         pool = frames.shape[0]
     n_streams = active.shape[0]
+    need = pool + n_streams          # slice start < pool, length n_streams
+    tiles = -(-need // pool)
+
+    def extend(x):
+        return jnp.concatenate([x] * tiles, 0)[:need]
+
+    if frame_format == "nv12":
+        ext = (extend(frames[0]), extend(frames[1]))
+    else:
+        ext = extend(frames)
 
     def pick(i):
-        idx = (i + jnp.arange(n_streams)) % pool
+        # Streams s = 0..S-1 read pool frames (i + s) % P: one contiguous
+        # block of the cyclically-extended pool.
+        start = i % pool
         if frame_format == "nv12":
-            return (frames[0][idx], frames[1][idx])
-        return frames[idx]
+            fy = jax.lax.dynamic_slice_in_dim(ext[0], start, n_streams)
+            fuv = jax.lax.dynamic_slice_in_dim(ext[1], start, n_streams)
+            return (fy, fuv)
+        return jax.lax.dynamic_slice_in_dim(ext, start, n_streams)
 
     def body(st, i):
         st, _bx, sc = multi.update_streams(params, st, pick(i), active, cfg,
