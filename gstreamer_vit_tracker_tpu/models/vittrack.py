@@ -43,7 +43,8 @@ def embed_template(params: Params, z_img: jnp.ndarray, cfg: ModelConfig) -> jnp.
 
 
 def forward(params: Params, z_tok: jnp.ndarray, x_img: jnp.ndarray,
-            cfg: ModelConfig, use_pallas: bool | None = None) -> TrackMaps:
+            cfg: ModelConfig, use_pallas: bool | None = None,
+            fused: bool | None = None) -> TrackMaps:
     """One tracking forward pass.
 
     z_tok: (B, Nz, D) cached template tokens;
@@ -51,7 +52,7 @@ def forward(params: Params, z_tok: jnp.ndarray, x_img: jnp.ndarray,
     """
     x_tok = vit.embed_search(params["backbone"], x_img, cfg)
     x_feat = vit.encode(params["backbone"], z_tok.astype(x_tok.dtype), x_tok,
-                        cfg, use_pallas=use_pallas)
+                        cfg, use_pallas=use_pallas, fused=fused)
     if cfg.head_mode == "conv":
         score, offset, size = heads_mod.conv_head(params["head"], x_feat, cfg)
     else:

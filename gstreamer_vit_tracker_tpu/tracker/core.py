@@ -113,13 +113,19 @@ def init(params: Params, frame, bbox: jnp.ndarray, cfg: ModelConfig,
 
 def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
            frame_format: str = "rgb",
-           use_pallas: bool | None = None) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+           use_pallas: bool | None = None,
+           fused: bool | None = None) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """Track one frame.  Returns (new_state, bbox_xywh, confidence).
 
     Mirrors ``tracker.update(full_image) -> TrackResult{bbox, score,
     success}`` (tracker_context.rs:120-123); "success" is implicit — the
     returned confidence is always finite and the session machine applies
     the 0.25 threshold.
+
+    ``fused`` gates the fused per-block ViT kernel (models/vit.py::encode);
+    batched callers (tracker/multi.py) pass False — under their vmap the
+    traced batch is 1 but the physical batch is the stream/object count,
+    where the fused per-sample grid loses to XLA's batched GEMMs.
     """
     prep = _PREPS[frame_format]
     fh, fw = frame_shape(frame, frame_format)
@@ -127,7 +133,7 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
     window = pp.crop_window(state.bbox, cfg.search_factor)
     x_img = prep(frame, window, cfg.search_size, cfg)
     maps = vittrack.forward(params, state.z_tok[None], x_img[None], cfg,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas, fused=fused)
 
     hann = heads_mod.hanning_2d(cfg.feat_size, cfg.hann_mode)
     prev_size_norm = state.bbox[2:4] / window.size

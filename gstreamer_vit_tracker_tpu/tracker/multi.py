@@ -56,7 +56,10 @@ def update_objects(params: Params, state: TrackState, frame,
                    ) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """One frame, N targets.  active: (N,) bool.  Returns
     (state, bboxes (N,4), scores (N,))."""
-    fn = functools.partial(core.update, cfg=cfg, frame_format=frame_format)
+    # fused=False: under this vmap the physical batch is N, where the
+    # per-sample fused ViT kernel loses to XLA's batched GEMMs.
+    fn = functools.partial(core.update, cfg=cfg, frame_format=frame_format,
+                           fused=False)
     new_state, bboxes, scores = jax.vmap(fn, in_axes=(None, 0, None))(
         params, state, frame)
     new_state = _mask_state(new_state, state, active)
@@ -82,7 +85,8 @@ def update_streams(params: Params, state: TrackState, frames,
                    ) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """S streams x M targets in one step.  frames batched on axis 0;
     active (S, M) bool.  Returns (state, bboxes (S,M,4), scores (S,M))."""
-    fn = functools.partial(core.update, cfg=cfg, frame_format=frame_format)
+    fn = functools.partial(core.update, cfg=cfg, frame_format=frame_format,
+                           fused=False)   # physical batch = S x M (see above)
     inner = jax.vmap(fn, in_axes=(None, 0, None))        # over objects
     outer = jax.vmap(inner, in_axes=(None, 0, 0))        # over streams
     new_state, bboxes, scores = outer(params, state, frames)
