@@ -16,6 +16,7 @@ step still ships only 16*M*5 floats to the host.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, Tuple
 
@@ -27,6 +28,22 @@ from . import core
 from .state import TrackState
 
 Params = Dict[str, Any]
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_cfg(cfg: ModelConfig) -> ModelConfig:
+    """Config for vmapped updates: banding off.
+
+    The band's per-sample ``dynamic_slice`` lowers to a gather under vmap
+    (~20 GB/s effective on v5e) — pre-slicing cost more than the smaller
+    resample matmuls saved.  Measured on the 16-stream 1080p NV12 step:
+    1.774 ms/step banded vs 0.971 ms full-width (docs/ARCHITECTURE.md).
+    Banding stays on for the unbatched path, where the slice is a cheap
+    contiguous copy.  For frames no larger than the band the two paths are
+    numerically identical (the band slice is then a no-op)."""
+    if cfg.preprocess_band is None:
+        return cfg
+    return dataclasses.replace(cfg, preprocess_band=None)
 
 
 def _mask_state(new: TrackState, old: TrackState, active: jnp.ndarray) -> TrackState:
@@ -46,7 +63,8 @@ def _mask_state(new: TrackState, old: TrackState, active: jnp.ndarray) -> TrackS
 def init_objects(params: Params, frame, bboxes: jnp.ndarray, cfg: ModelConfig,
                  frame_format: str = "rgb") -> TrackState:
     """bboxes (N, 4) -> batched TrackState with leading axis N."""
-    fn = functools.partial(core.init, cfg=cfg, frame_format=frame_format)
+    fn = functools.partial(core.init, cfg=_batched_cfg(cfg),
+                           frame_format=frame_format)
     return jax.vmap(fn, in_axes=(None, None, 0))(params, frame, bboxes)
 
 
@@ -58,7 +76,8 @@ def update_objects(params: Params, state: TrackState, frame,
     (state, bboxes (N,4), scores (N,))."""
     # fused=False: under this vmap the physical batch is N, where the
     # per-sample fused ViT kernel loses to XLA's batched GEMMs.
-    fn = functools.partial(core.update, cfg=cfg, frame_format=frame_format,
+    fn = functools.partial(core.update, cfg=_batched_cfg(cfg),
+                           frame_format=frame_format,
                            fused=False)
     new_state, bboxes, scores = jax.vmap(fn, in_axes=(None, 0, None))(
         params, state, frame)
@@ -85,7 +104,8 @@ def update_streams(params: Params, state: TrackState, frames,
                    ) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """S streams x M targets in one step.  frames batched on axis 0;
     active (S, M) bool.  Returns (state, bboxes (S,M,4), scores (S,M))."""
-    fn = functools.partial(core.update, cfg=cfg, frame_format=frame_format,
+    fn = functools.partial(core.update, cfg=_batched_cfg(cfg),
+                           frame_format=frame_format,
                            fused=False)   # physical batch = S x M (see above)
     inner = jax.vmap(fn, in_axes=(None, 0, None))        # over objects
     outer = jax.vmap(inner, in_axes=(None, 0, 0))        # over streams
