@@ -159,8 +159,15 @@ def encode(params: Params, z_tok: jnp.ndarray, x_tok: jnp.ndarray,
     if fused is None:
         fused = jax.default_backend() == "tpu" and x_tok.shape[0] == 1
     x = jnp.concatenate([z_tok.astype(dt), x_tok.astype(dt)], axis=1)
-    for bp in params["blocks"]:
-        x = _block(x, cast_params(bp, dt), cfg.num_heads, use_pallas, fused)
+    if fused and len(params["blocks"]) > 0:   # depth-0 (corr-tiny) has no
+        from ..ops import vit_block           # blocks to fuse
+
+        blocks = [cast_params(bp, dt) for bp in params["blocks"]]
+        x = vit_block.encoder(x, blocks, cfg.num_heads)
+    else:
+        for bp in params["blocks"]:
+            x = _block(x, cast_params(bp, dt), cfg.num_heads, use_pallas,
+                       fused)
     x = layer_norm(x, params["norm"])
     return x[:, z_tok.shape[1]:, :]
 

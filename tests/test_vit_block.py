@@ -80,6 +80,43 @@ def test_encode_fused_matches_unfused():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_encoder_matches_chained_blocks():
+    params = vit.init_vit_params(jax.random.PRNGKey(11), CFG)
+    blocks = params["blocks"]
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 20, CFG.embed_dim))
+    ref = vit_block.encoder_reference(x, blocks, CFG.num_heads)
+    out = vit_block.encoder(x, blocks, CFG.num_heads)   # interpret on CPU
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_encoder_grad_matches_reference():
+    params = vit.init_vit_params(jax.random.PRNGKey(13), CFG)
+    blocks = params["blocks"]
+    x = jax.random.normal(jax.random.PRNGKey(14), (1, 12, CFG.embed_dim))
+
+    g_f = jax.grad(lambda x: (vit_block.encoder(x, blocks,
+                                                CFG.num_heads) ** 2).sum())(x)
+    g_r = jax.grad(lambda x: (vit_block.encoder_reference(
+        x, blocks, CFG.num_heads) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_encode_fused_depth0_is_noop_encoder():
+    """corr-tiny runs depth=0 (no blocks); fused=True must not crash."""
+    cfg0 = ModelConfig(template_size=32, search_size=64, patch_size=16,
+                       embed_dim=32, depth=0, num_heads=2, dtype="float32")
+    params = vit.init_vit_params(jax.random.PRNGKey(15), cfg0)
+    z = jax.random.normal(jax.random.PRNGKey(16),
+                          (1, cfg0.num_template_tokens, cfg0.embed_dim))
+    x = jax.random.normal(jax.random.PRNGKey(17),
+                          (1, cfg0.num_search_tokens, cfg0.embed_dim))
+    a = vit.encode(params, z, x, cfg0, fused=False)
+    b = vit.encode(params, z, x, cfg0, fused=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_fused_block_under_vmap():
     p = _one_block_params(jax.random.PRNGKey(9))
     xs = jax.random.normal(jax.random.PRNGKey(10), (3, 1, 12, CFG.embed_dim))
