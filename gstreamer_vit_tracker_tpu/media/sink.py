@@ -80,6 +80,7 @@ class MJPEGSink:
         self.quality = quality
         self._latest = None          # newest frame (device or host array)
         self._seq = 0                # bumped per write; clients wait on it
+        self._closed = False         # close() wakes handlers so they exit
         self._cv = threading.Condition()
         sink = self
 
@@ -103,9 +104,17 @@ class MJPEGSink:
                 try:
                     while True:
                         with sink._cv:
+                            # A frame must EXIST (not just a seq bump) or
+                            # a pre-first-frame client busy-spins; close()
+                            # also wakes us so the thread can exit.
                             sink._cv.wait_for(
-                                lambda: sink._seq != sent_seq, timeout=1.0)
+                                lambda: sink._closed
+                                or (sink._latest is not None
+                                    and sink._seq != sent_seq),
+                                timeout=1.0)
                             frame, seq = sink._latest, sink._seq
+                            if sink._closed:
+                                return
                         if frame is None or seq == sent_seq:
                             continue
                         sent_seq = seq
@@ -139,6 +148,9 @@ class MJPEGSink:
         return self._latest
 
     def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()    # wake handler threads so they return
         self._server.shutdown()
         self._server.server_close()
         self._thread.join(timeout=2.0)

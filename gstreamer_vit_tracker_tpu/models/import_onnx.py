@@ -75,6 +75,12 @@ def _read_varint(buf: bytes, i: int) -> Tuple[int, int]:
         shift += 7
 
 
+def _signed64(v: int) -> int:
+    """Protobuf int64 varints are two's-complement in 64 bits: a negative
+    value arrives as an unsigned >= 2^63 (10-byte varint)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _iter_fields(buf: bytes):
     """Yield (field_number, wire_type, value) for one protobuf message.
 
@@ -133,9 +139,9 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
                 j = 0
                 while j < len(val):
                     d, j = _read_varint(val, j)
-                    int64s.append(d)
+                    int64s.append(_signed64(d))
             else:
-                int64s.append(val)
+                int64s.append(_signed64(val))
     if dtype_code not in _ONNX_DTYPES:
         raise ValueError(f"tensor {name!r}: unsupported ONNX dtype "
                          f"{dtype_code}")
@@ -325,13 +331,22 @@ def map_tensors(tensors: Dict[str, np.ndarray], like: Params,
     if strict:
         wanted = {p for p, _ in name_map.values()}
         missing = sorted("/".join(map(str, p)) for p in wanted - filled)
-        if missing:
-            raise ValueError(
-                "checkpoint did not fill these model parameters: "
-                + ", ".join(missing[:8])
-                + (f" (+{len(missing) - 8} more)" if len(missing) > 8 else "")
-                + (f"; checkpoint tensors with no mapping: "
-                   + ", ".join(sorted(unmatched)[:8]) if unmatched else ""))
+        if missing or unmatched:
+            parts = []
+            if missing:
+                parts.append(
+                    "checkpoint did not fill these model parameters: "
+                    + ", ".join(missing[:8])
+                    + (f" (+{len(missing) - 8} more)"
+                       if len(missing) > 8 else ""))
+            if unmatched:
+                um = sorted(unmatched)
+                parts.append(
+                    "checkpoint tensors with no mapping: " + ", ".join(um[:8])
+                    + (f" (+{len(um) - 8} more)" if len(um) > 8 else ""))
+            raise ValueError("; ".join(parts)
+                             + " (pass strict=False / --no-strict to load "
+                               "the mapped intersection)")
     return out
 
 

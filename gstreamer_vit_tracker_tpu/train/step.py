@@ -84,8 +84,11 @@ def loss_fn(params: Params, z_imgs, x_imgs, gts, cfg: ModelConfig,
     (B, Hz, Wz, 3), (B, Hx, Wx, 3) and (B, 4) crop-normalised gt boxes."""
     z_tok = vit.embed_template(params["backbone"], z_imgs, cfg)
     x_tok = vit.embed_search(params["backbone"], x_imgs, cfg)
+    # fused=False: training always uses the XLA encoder (the fused
+    # kernel's forward + reference backward would mix implementations,
+    # and its B=1 auto-select could otherwise trigger on debug runs).
     x_feat = vit.encode(params["backbone"], z_tok, x_tok, cfg,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas, fused=False)
     score, offset, size = conv_head(params["head"], x_feat, cfg)
 
     def one(s, o, z, gt):

@@ -102,12 +102,20 @@ def main() -> int:
     total = timed_scan(full_step, st, "full 16-stream step", args.reps)
 
     # Preprocess only: batched search-window crop from each stream's frame.
+    # Must use the BATCHED config (band off, tracker/multi.py::_batched_cfg)
+    # so the stage matches what the full step above actually runs —
+    # profiling the banded vmap-gather path here would mis-attribute
+    # ~0.27 ms/step.
+    from gstreamer_vit_tracker_tpu.tracker.multi import _batched_cfg
+
+    bcfg = _batched_cfg(cfg)
+
     def prep_step(carry):
         boxes = carry
 
         def one(y, uv, bb):
-            win = pp.crop_window(bb, cfg.search_factor)
-            x = core._prep_nv12((y, uv), win, cfg.search_size, cfg)
+            win = pp.crop_window(bb, bcfg.search_factor)
+            x = core._prep_nv12((y, uv), win, bcfg.search_size, bcfg)
             return x.astype(jnp.float32).mean()
 
         m = jax.vmap(one)(ys, uvs, boxes[:, 0])

@@ -125,6 +125,44 @@ def test_onnx_strict_reports_gaps(tmp_path):
         np.asarray(params["backbone"]["blocks"][0]["qkv"]["bias"]))
 
 
+def test_onnx_negative_int64_data_parses():
+    """int64_data varints are two's-complement; -1 must not overflow."""
+    from gstreamer_vit_tracker_tpu.models.import_onnx import (
+        _emit_len, _emit_tag, _emit_varint)
+
+    vals = [-1, 3, -256]
+    t = bytearray()
+    t += _emit_tag(1, 0) + _emit_varint(3)               # dims [3]
+    t += _emit_tag(2, 0) + _emit_varint(7)               # int64
+    t += _emit_len(8, b"shape")
+    packed = bytearray()
+    for v in vals:
+        packed += _emit_varint(v & ((1 << 64) - 1))      # two's complement
+    t += _emit_len(7, bytes(packed))                     # int64_data packed
+    model = _emit_len(7, _emit_len(5, bytes(t)))
+    path = "/tmp/_neg_int64.onnx"
+    with open(path, "wb") as f:
+        f.write(model)
+    tensors = import_onnx.read_onnx_tensors(path)
+    np.testing.assert_array_equal(tensors["shape"],
+                                  np.asarray(vals, np.int64))
+
+
+def test_onnx_strict_raises_on_unmatched_only(tmp_path):
+    """Extra checkpoint tensors must be loud even when nothing is missing."""
+    params = vittrack.init_params(jax.random.PRNGKey(7), CFG)
+    tensors = _to_torch_layout(params)
+    tensors["num_batches_tracked"] = np.zeros(1, np.float32)
+    path = str(tmp_path / "extra.onnx")
+    import_onnx.write_onnx_tensors(path, tensors)
+    with pytest.raises(ValueError, match="num_batches_tracked"):
+        import_onnx.load_onnx(path, params)
+    loaded = import_onnx.load_onnx(path, params, strict=False)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["backbone"]["norm"]["scale"]),
+        np.asarray(params["backbone"]["norm"]["scale"]))
+
+
 def test_onnx_shape_mismatch_is_loud(tmp_path):
     params = vittrack.init_params(jax.random.PRNGKey(7), CFG)
     tensors = _to_torch_layout(params)

@@ -97,6 +97,32 @@ def test_mjpeg_sink_404_and_luma():
         sink.close()
 
 
+def test_mjpeg_client_before_first_frame_and_close():
+    """A client connecting before any write must block (not busy-spin)
+    until the first frame arrives; close() must release handler threads."""
+    sink = MJPEGSink(port=0, max_fps=1000.0)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", sink.port, timeout=10)
+        conn.request("GET", "/")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        time.sleep(0.3)                     # handler waits, no frame yet
+        sink.write(np.full((16, 24, 3), 7, np.uint8))
+        jpg = _read_one_part(resp)
+        assert jpg[:2] == b"\xff\xd8"
+        n_before = threading.active_count()
+        sink.close()
+        time.sleep(0.5)
+        # the handler thread must have exited after close()
+        assert threading.active_count() < n_before
+        conn.close()
+    finally:
+        try:
+            sink.close()
+        except Exception:
+            pass
+
+
 def test_multisink_fans_out_and_reports_host_pixels():
     a, b = NullSink(), NullSink()
     ms = MultiSink(a, b, None)
