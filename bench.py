@@ -198,14 +198,14 @@ def main(argv=None) -> int:
         # fixed dispatch+fetch overhead (~tens of ms on the dev relay).
         reps = n
 
-        st = multi.init_streams(params, (ys0, uvs0), bbs, cfg, "nv12")
+        st = multi.init_streams_jit(params, (ys0, uvs0), bbs, cfg, "nv12")
         st, sc = scan.update_streams_scan_pool(params, st,
                                                (pool_ys, pool_uvs), active,
                                                reps, cfg, "nv12")
         np.asarray(sc)
 
         def run_streams():
-            st = multi.init_streams(params, (ys0, uvs0), bbs, cfg, "nv12")
+            st = multi.init_streams_jit(params, (ys0, uvs0), bbs, cfg, "nv12")
             t0 = time.perf_counter()
             _, sc = scan.update_streams_scan_pool(params, st,
                                                   (pool_ys, pool_uvs),
@@ -232,14 +232,14 @@ def main(argv=None) -> int:
         pool_ys, pool_uvs = ys, uvs   # headline's stacks, same content
         reps = n   # n frames tracked, m targets each (see streams note)
 
-        st = multi.init_objects(params, frames[0], bbs, mcfg, "nv12")
+        st = multi.init_objects_jit(params, frames[0], bbs, mcfg, "nv12")
         st, sc = scan.update_objects_scan_pool(params, st,
                                                (pool_ys, pool_uvs), active,
                                                reps, mcfg, "nv12")
         np.asarray(sc)
 
         def run_objects():
-            st = multi.init_objects(params, frames[0], bbs, mcfg, "nv12")
+            st = multi.init_objects_jit(params, frames[0], bbs, mcfg, "nv12")
             t0 = time.perf_counter()
             _, sc = scan.update_objects_scan_pool(params, st,
                                                   (pool_ys, pool_uvs),

@@ -62,7 +62,7 @@ class ShardedStreamTracker:
     def init(self, frames, bboxes) -> None:
         frames = self._shard_frames(frames)
         bboxes = shard_batch(jnp.asarray(bboxes, jnp.float32), self.mesh)
-        state = multi.init_streams(self.params, frames, bboxes, self.cfg,
+        state = multi.init_streams_jit(self.params, frames, bboxes, self.cfg,
                                    self.frame_format)
         # Keep state sharded over streams.
         self.state = jax.tree.map(

@@ -120,6 +120,22 @@ def update_streams(params: Params, state: TrackState, frames,
 # Jitted entry points (donated state)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format"))
+def init_objects_jit(params, frame, bboxes, cfg: ModelConfig,
+                     frame_format: str = "rgb"):
+    """Jitted batched init: the eager vmap init dispatches every op
+    separately (seconds of startup on a relay-attached device) and can
+    alias caller buffers into the state; one compiled program does
+    neither."""
+    return init_objects(params, frame, bboxes, cfg, frame_format)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format"))
+def init_streams_jit(params, frames, bboxes, cfg: ModelConfig,
+                     frame_format: str = "rgb"):
+    return init_streams(params, frames, bboxes, cfg, frame_format)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "frame_format"),
                    donate_argnums=(1,))
 def update_objects_jit(params, state, frame, active, cfg: ModelConfig,

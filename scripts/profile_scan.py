@@ -149,11 +149,11 @@ def main() -> int:
     active = jnp.ones((s, 1), bool)
 
     def run_scan_pool(reps):
-        st = multi.init_streams(params, (ys[:s], uvs[:s]), bbs, cfg, "nv12")
+        st = multi.init_streams_jit(params, (ys[:s], uvs[:s]), bbs, cfg, "nv12")
         stt, sc = scan.update_streams_scan_pool(params, st, (ys, uvs),
                                                 active, reps, cfg, "nv12")
         np.asarray(sc)
-        st = multi.init_streams(params, (ys[:s], uvs[:s]), bbs, cfg, "nv12")
+        st = multi.init_streams_jit(params, (ys[:s], uvs[:s]), bbs, cfg, "nv12")
         t0 = time.perf_counter()
         stt, sc = scan.update_streams_scan_pool(params, st, (ys, uvs),
                                                 active, reps, cfg, "nv12")
@@ -170,10 +170,10 @@ def main() -> int:
         return jax.lax.scan(body, state, jnp.arange(reps))
 
     def run_scan_fixed(reps):
-        st = multi.init_streams(params, (ys[:s], uvs[:s]), bbs, cfg, "nv12")
+        st = multi.init_streams_jit(params, (ys[:s], uvs[:s]), bbs, cfg, "nv12")
         stt, sc = scan_fixed(params, st, (ys[:s], uvs[:s]), active, reps)
         np.asarray(sc)
-        st = multi.init_streams(params, (ys[:s], uvs[:s]), bbs, cfg, "nv12")
+        st = multi.init_streams_jit(params, (ys[:s], uvs[:s]), bbs, cfg, "nv12")
         t0 = time.perf_counter()
         stt, sc = scan_fixed(params, st, (ys[:s], uvs[:s]), active, reps)
         np.asarray(sc)
@@ -183,7 +183,7 @@ def main() -> int:
     m_fixed = diff_ms(run_scan_fixed, lo, hi)
 
     def run_loop(reps):
-        st = multi.init_streams(params, (ys[:s], uvs[:s]), bbs, cfg, "nv12")
+        st = multi.init_streams_jit(params, (ys[:s], uvs[:s]), bbs, cfg, "nv12")
         st, _bx, sc = multi.update_streams_jit(params, st, (ys[:s], uvs[:s]),
                                                active, cfg, "nv12")
         np.asarray(sc)
