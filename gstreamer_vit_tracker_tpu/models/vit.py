@@ -148,8 +148,9 @@ def encode(params: Params, z_tok: jnp.ndarray, x_tok: jnp.ndarray,
     ``fused=None`` auto-selects the fully-fused per-block Pallas kernel
     (ops/vit_block.py) on TPU for UNBATCHED (B=1) encodes — one kernel per
     block instead of ~10 XLA ops, keeping activations in VMEM (measured
-    59.4 vs 70.7 us/encode on v5e).  At real batch the per-sample grid
-    programs lose to XLA's batched GEMMs (0.856 vs 0.820 ms at B=16), so
+    59.4 vs 70.7 us/encode on v5e; the kernel still edges XLA at B=2,
+    113.5 vs 118.1 us, and loses from B>=4).  At real batch the per-sample
+    grid programs lose to XLA's batched GEMMs (0.856 vs 0.820 ms at B=16), so
     batched callers (tracker/multi.py under vmap — where the traced shape
     is B=1 but the physical batch is S x M — and the training step) pass
     ``fused=False`` explicitly.  The kernel is trainable regardless
