@@ -135,6 +135,38 @@ def test_reinit_after_donated_scan_keeps_caller_buffers():
     assert np.isfinite(np.asarray(st2.bbox)).all()
 
 
+def test_streams_scan_more_streams_than_pool():
+    """S > P: the cyclic pool extension must still give stream s frame
+    (i + s) % P, matching the explicit-gather loop."""
+    from gstreamer_vit_tracker_tpu.tracker import multi
+
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    pool, s = 2, 5
+    src = SyntheticSource(160, 128, obj_size=32, seed=1, fmt="nv12")
+    pool_ys = jnp.stack([jnp.asarray(src.frame(i)[0]) for i in range(pool)])
+    pool_uvs = jnp.stack([jnp.asarray(src.frame(i)[1]) for i in range(pool)])
+    bb0 = jnp.asarray(src.bbox_at(0))
+    bbs = jnp.tile(bb0[None, None], (s, 1, 1))
+    active = jnp.ones((s, 1), bool)
+    init_fr = (pool_ys[jnp.arange(s) % pool], pool_uvs[jnp.arange(s) % pool])
+
+    st_a = multi.init_streams(params, init_fr, bbs, CORR, "nv12")
+    st_b = jax.tree.map(jnp.copy, st_a)
+
+    reps = 3
+    loop_scores = []
+    for i in range(reps):
+        idx = np.array([(i + k) % pool for k in range(s)])
+        st_a, _bx, sc = multi.update_streams(
+            params, st_a, (pool_ys[idx], pool_uvs[idx]), active, CORR, "nv12")
+        loop_scores.append(np.asarray(sc))
+
+    st_c, scores = scan.update_streams_scan_pool(
+        params, st_b, (pool_ys, pool_uvs), active, reps, CORR, "nv12")
+    np.testing.assert_allclose(np.asarray(scores), np.stack(loop_scores),
+                               atol=1e-4)
+
+
 def test_objects_scan_pool_runs():
     from gstreamer_vit_tracker_tpu.tracker import multi
 
