@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                     help="also report ingest-included FPS: per-frame "
                          "host->device 1080p NV12 transfer feeding the "
                          "tracked step (double-buffered async device_put)")
+    ap.add_argument("--yuy2", action="store_true",
+                    help="also report YUY2 640x512 tracked FPS — the "
+                         "reference's ACTIVE camera mode "
+                         "(pipeline_ir.rs:27-41)")
     ap.add_argument("--loop-frames", type=int, default=100,
                     help="frames for the per-frame Python-loop latency "
                          "measurement (p50/p99)")
@@ -290,6 +294,32 @@ def main(argv=None) -> int:
         result["uhd_fps"] = round(reps / timed_runs(run_uhd), 1)
         result["uhd_hud"] = "per-frame on-device composite"
 
+    def _config_yuy2():
+        # Reference-active capture mode: YUY2 640x512@60
+        # (pipeline_ir.rs:27-41).  Same scanned-pool protocol as the
+        # headline, on the packed 4:2:2 buffers with the column-folded
+        # chroma preprocess.
+        hy, wy = 512, 640
+        pool_f = jnp.asarray(rng.integers(0, 256, (args.pool, hy, wy * 2),
+                                          dtype=np.uint8))
+        bb = jnp.asarray([400.0, 250.0, 80.0, 60.0])
+
+        st = core.init_jit(params, pool_f[0], bb, cfg, frame_format="yuy2")
+        st, sc = scan.update_scan_pool(params, st, pool_f, n, cfg,
+                                       frame_format="yuy2")
+        np.asarray(sc)
+
+        def run_yuy2():
+            st = core.init_jit(params, pool_f[0], bb, cfg,
+                               frame_format="yuy2")
+            t0 = time.perf_counter()
+            _, sc = scan.update_scan_pool(params, st, pool_f, n, cfg,
+                                          frame_format="yuy2")
+            np.asarray(sc)
+            return time.perf_counter() - t0
+
+        result["yuy2_640x512_fps"] = round(n / timed_runs(run_yuy2), 1)
+
     def _config_ingest():
         # Ingest-included config (BASELINE config 5's end-to-end story):
         # every frame travels host->device before its tracked step, double-
@@ -343,6 +373,8 @@ def main(argv=None) -> int:
         _optional("object", _config_objects)
     if args.uhd:
         _optional("uhd", _config_uhd)
+    if args.yuy2:
+        _optional("yuy2", _config_yuy2)
     if args.ingest:
         _optional("ingest", _config_ingest)
 
