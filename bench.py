@@ -47,6 +47,9 @@ def main(argv=None) -> int:
                     help="also report ingest-included FPS: per-frame "
                          "host->device 1080p NV12 transfer feeding the "
                          "tracked step (double-buffered async device_put)")
+    ap.add_argument("--rgb", action="store_true",
+                    help="also report 1080p RGB tracked FPS (BASELINE "
+                         "config 1's file-source path)")
     ap.add_argument("--yuy2", action="store_true",
                     help="also report YUY2 640x512 tracked FPS — the "
                          "reference's ACTIVE camera mode "
@@ -294,6 +297,29 @@ def main(argv=None) -> int:
         result["uhd_fps"] = round(reps / timed_runs(run_uhd), 1)
         result["uhd_hud"] = "per-frame on-device composite"
 
+    def _config_rgb():
+        # BASELINE config 1: single-object tracking over 1080p RGB frames
+        # (the file-source path); same scanned-pool protocol as the
+        # headline, through preprocess_rgb.
+        pool_f = jnp.asarray(rng.integers(0, 256, (args.pool, h, w, 3),
+                                          dtype=np.uint8))
+
+        st = core.init_jit(params, pool_f[0], bbox0, cfg, frame_format="rgb")
+        st, sc = scan.update_scan_pool(params, st, pool_f, n, cfg,
+                                       frame_format="rgb")
+        np.asarray(sc)
+
+        def run_rgb():
+            st = core.init_jit(params, pool_f[0], bbox0, cfg,
+                               frame_format="rgb")
+            t0 = time.perf_counter()
+            _, sc = scan.update_scan_pool(params, st, pool_f, n, cfg,
+                                          frame_format="rgb")
+            np.asarray(sc)
+            return time.perf_counter() - t0
+
+        result["rgb_1080p_fps"] = round(n / timed_runs(run_rgb), 1)
+
     def _config_yuy2():
         # Reference-active capture mode: YUY2 640x512@60
         # (pipeline_ir.rs:27-41).  Same scanned-pool protocol as the
@@ -373,6 +399,8 @@ def main(argv=None) -> int:
         _optional("object", _config_objects)
     if args.uhd:
         _optional("uhd", _config_uhd)
+    if args.rgb:
+        _optional("rgb", _config_rgb)
     if args.yuy2:
         _optional("yuy2", _config_yuy2)
     if args.ingest:
