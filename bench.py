@@ -4,8 +4,11 @@ Measures the full per-frame tracking step — fused NV12 crop/resize/
 normalise -> ViT (Pallas flash attention) -> heads -> hanning decode ->
 bbox, with TrackState donated (HBM-resident) — on the flagship vittrack-t
 model over HBM-resident 1080p NV12 frames (the north-star configuration in
-BASELINE.json; per-frame host->device ingest is benchmarked by --ingest,
-per-frame 4K HUD compositing by --uhd).
+BASELINE.json).  By default one invocation then runs compact versions of
+EVERY other BASELINE config — 16-stream batch, 8-object online-update,
+4K+HUD, 1080p RGB, YUY2 640x512 — so the driver's single run records all
+six numbers (per-frame host->device ingest remains opt-in via --ingest;
+--headline-only restores the single-config run).
 
 Steps are dispatched asynchronously back-to-back (the production serving
 shape: a pipelined feed with bounded in-flight frames, mirroring the
@@ -35,25 +38,21 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, default=600)
     ap.add_argument("--pool", type=int, default=16,
                     help="distinct HBM-resident frames cycled through")
-    ap.add_argument("--streams", type=int, default=0,
-                    help="also report N-stream batched throughput (config 4)")
-    ap.add_argument("--objects", type=int, default=0,
-                    help="also report N-object single-frame throughput with "
-                         "online template update (config 3)")
-    ap.add_argument("--uhd", action="store_true",
-                    help="also report 4K NV12 + per-frame on-device HUD FPS "
-                         "(config 5)")
+    # Every BASELINE config runs BY DEFAULT (compact reps) so a single
+    # driver invocation records all six numbers in one JSON line;
+    # --headline-only restores the old single-config behaviour.
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the secondary configs (streams/objects/uhd/"
+                         "rgb/yuy2); headline 1080p NV12 only")
+    ap.add_argument("--streams", type=int, default=16,
+                    help="N-stream batched throughput (config 4); 0 skips")
+    ap.add_argument("--objects", type=int, default=8,
+                    help="N-object single-frame throughput with online "
+                         "template update (config 3); 0 skips")
     ap.add_argument("--ingest", action="store_true",
                     help="also report ingest-included FPS: per-frame "
                          "host->device 1080p NV12 transfer feeding the "
                          "tracked step (double-buffered async device_put)")
-    ap.add_argument("--rgb", action="store_true",
-                    help="also report 1080p RGB tracked FPS (BASELINE "
-                         "config 1's file-source path)")
-    ap.add_argument("--yuy2", action="store_true",
-                    help="also report YUY2 640x512 tracked FPS — the "
-                         "reference's ACTIVE camera mode "
-                         "(pipeline_ir.rs:27-41)")
     ap.add_argument("--loop-frames", type=int, default=100,
                     help="frames for the per-frame Python-loop latency "
                          "measurement (p50/p99)")
@@ -172,6 +171,12 @@ def main(argv=None) -> int:
         "python_loop_fps": round(loop_fps, 1),
         "sync_p50_ms": round(float(np.percentile(lat, 50)), 3),
         "sync_p99_ms": round(float(np.percentile(lat, 99)), 3),
+        # Relay-health marker: the dev TPU is reached through a network
+        # relay that degrades under sustained load (CLAUDE.md); a healthy
+        # window sustains ~1400 fps on the per-frame Python dispatch loop.
+        # When this run's loop fps is well below that, EVERY number in this
+        # line is a lower bound measured through a degraded window.
+        "window_degraded": bool(backend != "cpu" and loop_fps < 1200.0),
         "backend": backend,
         "model": "vittrack-t(192d x12L, bf16, conv head)"
                  + (" trained" if trained else " random-init"),
@@ -200,10 +205,11 @@ def main(argv=None) -> int:
         bbs = jnp.tile(bbox0[None, None], (s, 1, 1))
         active = jnp.ones((s, 1), bool)
         pool_ys, pool_uvs = ys, uvs   # headline's stacks, same content
-        # Every stream advances n steps (same sequence length as the
-        # headline) so the scanned region is long enough to amortise the
-        # fixed dispatch+fetch overhead (~tens of ms on the dev relay).
-        reps = n
+        # Compact reps (the default run covers six configs in one
+        # relay-safe invocation): 300 steps x 16 streams = 4800 tracked
+        # frames, ~0.5 s of device time — comfortably past the >=100 ms
+        # floor below which relay dispatch noise dominates (CLAUDE.md).
+        reps = min(n, 300)
 
         st = multi.init_streams_jit(params, (ys0, uvs0), bbs, cfg, "nv12")
         st, sc = scan.update_streams_scan_pool(params, st,
@@ -237,7 +243,7 @@ def main(argv=None) -> int:
                           + np.arange(m)[:, None] * np.asarray([40.0, 20.0, 0, 0]))
         active = jnp.ones((m,), bool)
         pool_ys, pool_uvs = ys, uvs   # headline's stacks, same content
-        reps = n   # n frames tracked, m targets each (see streams note)
+        reps = min(n, 300)   # compact: see streams note
 
         st = multi.init_objects_jit(params, frames[0], bbs, mcfg, "nv12")
         st, sc = scan.update_objects_scan_pool(params, st,
@@ -393,15 +399,13 @@ def main(argv=None) -> int:
         rwall = time.perf_counter() - t0
         result["h2d_mb_s"] = round(n_in * (h * w * 1.5) / rwall / 1e6, 1)
 
-    if args.streams:
-        _optional("stream", _config_streams)
-    if args.objects:
-        _optional("object", _config_objects)
-    if args.uhd:
+    if not args.headline_only:
+        if args.streams:
+            _optional("stream", _config_streams)
+        if args.objects:
+            _optional("object", _config_objects)
         _optional("uhd", _config_uhd)
-    if args.rgb:
         _optional("rgb", _config_rgb)
-    if args.yuy2:
         _optional("yuy2", _config_yuy2)
     if args.ingest:
         _optional("ingest", _config_ingest)
