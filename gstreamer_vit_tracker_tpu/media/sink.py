@@ -180,23 +180,39 @@ class MultiSink:
 
 
 class FileSink:
-    """Collects frames and writes an (N, H, W, 3) uint8 .npy on close."""
+    """Records frames to a file: ``.y4m`` paths stream YUV4MPEG2 raw video
+    frame by frame (playable anywhere: ``ffplay out.y4m``; media/y4m.py),
+    anything else collects an (N, H, W, 3) uint8 .npy written on close."""
 
     wants_host_pixels = True   # write() snapshots pixels; callers fetch
 
-    def __init__(self, path: str, max_frames: int = 10_000):
+    def __init__(self, path: str, max_frames: int = 10_000,
+                 fps: float = 30.0):
         self.path = path
         self.max_frames = max_frames
         self._frames: List[np.ndarray] = []
+        self._y4m = None
+        self._n = 0
+        if path.endswith(".y4m"):
+            from .y4m import Y4MWriter
+
+            self._y4m = Y4MWriter(path, fps=fps)
 
     def write(self, frame: np.ndarray) -> None:
-        if len(self._frames) < self.max_frames:
+        if self._n >= self.max_frames:
+            return
+        if self._y4m is not None:
+            self._y4m.write_rgb(np.asarray(frame))
+        else:
             self._frames.append(np.asarray(frame))
+        self._n += 1
 
     def close(self) -> None:
-        if self._frames:
+        if self._y4m is not None:
+            self._y4m.close()
+        elif self._frames:
             np.save(self.path, np.stack(self._frames))
 
     @property
     def frames(self) -> int:
-        return len(self._frames)
+        return self._n

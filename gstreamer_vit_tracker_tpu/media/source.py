@@ -14,7 +14,7 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["SyntheticSource", "FileSource", "V4L2Source",
+__all__ = ["SyntheticSource", "HeldoutSource", "FileSource", "V4L2Source",
            "rgb_to_nv12_planes", "rgb_to_yuy2"]
 
 
@@ -57,6 +57,19 @@ def rgb_to_nv12_planes(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return y, uv
 
 
+def _bilinear_resize_f32(img: np.ndarray, out: int) -> np.ndarray:
+    """Square bilinear resize (half-pixel centres), float32 out."""
+    n = img.shape[0]
+    s = (np.arange(out) + 0.5) * (n / out) - 0.5
+    j0 = np.clip(np.floor(s).astype(int), 0, n - 1)
+    j1 = np.minimum(j0 + 1, n - 1)
+    f = np.clip(s - np.floor(s), 0.0, 1.0)
+    imgf = img.astype(np.float32)
+    rows = (imgf[j0] * (1 - f)[:, None, None] + imgf[j1] * f[:, None, None])
+    return (rows[:, j0] * (1 - f)[None, :, None]
+            + rows[:, j1] * f[None, :, None])
+
+
 class SyntheticSource:
     """Deterministic moving-target video.
 
@@ -64,11 +77,32 @@ class SyntheticSource:
     Lissajous path.  ``bbox_at(i)`` gives the ground-truth box, enabling
     IoU assertions (the parity harness the reference never had,
     SURVEY.md §4).
+
+    The world can be hardened beyond the reference's fixed-appearance
+    assumption (the real tracker faces scale change, occlusion and
+    lookalike clutter — /root/reference/src/tracker_context.rs:120-138
+    consumes per-frame bbox+score under arbitrary real motion):
+
+    * ``scale_range=(lo, hi)`` — the target's rendered size sweeps
+      log-sinusoidally between ``lo*obj_size`` and ``hi*obj_size`` with
+      period ``scale_period`` frames (exercises the size head's runtime
+      decode, which a constant-size target never touches).
+    * ``occlusion=(period, length)`` — every ``period`` frames a textured
+      occluder sweeps across the target for ``length`` frames, covering it
+      completely at the midpoint; ``visible_frac_at(i)`` reports the
+      un-occluded fraction so evals can assert the Lost machine engages
+      rather than silently drifting.
+    * ``n_distractors=N`` — N same-construction lookalike patches glide on
+      their own Lissajous paths underneath the target.
     """
 
     def __init__(self, width: int = 640, height: int = 512, fps: int = 60,
                  obj_size: int = 64, seed: int = 0, fmt: str = "rgb",
-                 speed: float = 2.0, appearance_drift: float = 0.0):
+                 speed: float = 2.0, appearance_drift: float = 0.0,
+                 scale_range: Optional[Tuple[float, float]] = None,
+                 scale_period: int = 300,
+                 occlusion: Optional[Tuple[int, int]] = None,
+                 n_distractors: int = 0):
         assert fmt in ("rgb", "nv12", "yuy2")
         # appearance_drift > 0 darkens the target over time (tests the
         # online template update, BASELINE.json config 3).
@@ -79,6 +113,11 @@ class SyntheticSource:
         self.obj_size = obj_size
         self.fmt = fmt
         self.speed = speed
+        self.scale_range = scale_range
+        self.scale_period = scale_period
+        self.occlusion = occlusion
+        self.n_distractors = n_distractors
+        self._patch_cache: dict = {}
         rng = np.random.default_rng(seed)
         # Smooth background: coarse noise, bilinear-upsampled.
         coarse = rng.integers(40, 140, size=(8, 8, 3)).astype(np.float32)
@@ -116,38 +155,251 @@ class SyntheticSource:
         border = (yy < 3) | (yy >= s - 3) | (xx < 3) | (xx >= s - 3)
         patch[border] = (250, 250, 250)
         self.patch = np.clip(patch, 0, 255).astype(np.uint8)
+        # Lookalike distractors: same construction recipe, different draws.
+        self._distractors = []
+        for _ in range(n_distractors):
+            dc = rng.integers(0, 256, size=(4, 4, 3)).astype(np.float32)
+            dp = ((1 - pfy) * (1 - pfx) * dc[py0][:, px0]
+                  + (1 - pfy) * pfx * dc[py0][:, px1]
+                  + pfy * (1 - pfx) * dc[py1][:, px0]
+                  + pfy * pfx * dc[py1][:, px1])
+            dp[border] = (250, 250, 250)
+            self._distractors.append(np.clip(dp, 0, 255).astype(np.uint8))
+        # Occluder: a flat-ish textured slab, unlike both background and
+        # target (it represents a foreground object passing in front).
+        occ = rng.integers(70, 110, size=(6, 6, 3)).astype(np.float32)
+        self._occ_tex = np.clip(
+            _bilinear_resize_f32(occ, 64) + rng.normal(0, 6, (64, 64, 3)),
+            0, 255).astype(np.uint8)
+
+    def scale_at(self, i: int) -> float:
+        """Target render scale at frame ``i`` (1.0 without a schedule).
+        Log-sinusoid between scale_range bounds, period ``scale_period``."""
+        if self.scale_range is None:
+            return 1.0
+        lo, hi = np.log(self.scale_range[0]), np.log(self.scale_range[1])
+        mid, amp = (lo + hi) / 2, (hi - lo) / 2
+        return float(np.exp(mid + amp * np.sin(2 * np.pi * i / self.scale_period)))
+
+    def _size_at(self, i: int) -> int:
+        return max(8, int(round(self.obj_size * self.scale_at(i))))
+
+    def _max_size(self) -> int:
+        if self.scale_range is None:
+            return self.obj_size
+        return max(8, int(round(self.obj_size * self.scale_range[1])))
 
     def bbox_at(self, i: int) -> Tuple[float, float, float, float]:
         """Ground-truth (x, y, w, h) at frame ``i``."""
-        s = self.obj_size
-        ax = (self.width - s - 20) / 2
-        ay = (self.height - s - 20) / 2
+        s = self._size_at(i)
+        smax = self._max_size()
+        ax = (self.width - smax - 20) / 2
+        ay = (self.height - smax - 20) / 2
         t = i * self.speed / 100.0
         cx = self.width / 2 + ax * np.sin(1.0 * t)
         cy = self.height / 2 + ay * np.sin(0.7 * t + 1.0)
         return (float(cx - s / 2), float(cy - s / 2), float(s), float(s))
 
-    def frame_rgb_at(self, x: float, y: float, i: int = 0
+    def occluder_rect_at(self, i: int) -> Optional[Tuple[int, int, int, int]]:
+        """Occluder (x, y, w, h) at frame ``i``, or None when inactive.
+
+        The occluder sweeps horizontally across the target over the
+        occlusion window: clear of it at the endpoints, fully covering it
+        at the midpoint (its extent exceeds the target's on both axes)."""
+        if self.occlusion is None:
+            return None
+        period, length = self.occlusion
+        p = i % period
+        if p >= length:
+            return None
+        u = p / max(length - 1, 1)
+        x, y, w, h = self.bbox_at(i)
+        cx, cy = x + w / 2, y + h / 2
+        ow, oh = int(round(1.4 * w)), int(round(1.4 * h))
+        ocx = cx + (1.0 - 2.0 * u) * (w + ow) / 2
+        return (int(round(ocx - ow / 2)), int(round(cy - oh / 2)), ow, oh)
+
+    def visible_frac_at(self, i: int) -> float:
+        """Fraction of the target NOT covered by the occluder at frame i."""
+        occ = self.occluder_rect_at(i)
+        if occ is None:
+            return 1.0
+        x, y, w, h = self.bbox_at(i)
+        ox, oy, ow, oh = occ
+        ix = max(0.0, min(x + w, ox + ow) - max(x, ox))
+        iy = max(0.0, min(y + h, oy + oh) - max(y, oy))
+        return float(1.0 - (ix * iy) / (w * h))
+
+    def _patch_at(self, size: int, which: int = -1) -> np.ndarray:
+        """Target (which=-1) or distractor patch resized to ``size`` px."""
+        key = (size, which)
+        cached = self._patch_cache.get(key)
+        if cached is None:
+            base = self.patch if which < 0 else self._distractors[which]
+            cached = (base if size == base.shape[0] else
+                      np.clip(np.round(_bilinear_resize_f32(base, size)),
+                              0, 255).astype(np.uint8))
+            if len(self._patch_cache) > 64:
+                self._patch_cache.clear()
+            self._patch_cache[key] = cached
+        return cached
+
+    def _paste(self, img: np.ndarray, patch: np.ndarray, x: int, y: int):
+        """Paste ``patch`` at top-left (x, y), cropped to the frame."""
+        ph, pw = patch.shape[:2]
+        x0, y0 = max(0, x), max(0, y)
+        x1, y1 = min(self.width, x + pw), min(self.height, y + ph)
+        if x1 > x0 and y1 > y0:
+            img[y0:y1, x0:x1] = patch[y0 - y:y1 - y, x0 - x:x1 - x]
+
+    def frame_rgb_at(self, x: float, y: float, i: int = 0,
+                     scale: float = 1.0
                      ) -> Tuple[np.ndarray, Tuple[float, float, float, float]]:
         """Render the scene with the target at an arbitrary top-left
         (clamped inside the frame); returns (frame, actual bbox).  Used by
         the training data generator to place targets hard against frame
         borders — the zero-padding regime the Lissajous path rarely
-        reaches (round-2 long-horizon robustness work)."""
+        reaches (round-2 long-horizon robustness work).  ``scale`` renders
+        the target at ``scale * obj_size`` px (size-head training)."""
         img = self.background.copy()
-        w = h = self.obj_size
+        w = h = max(8, int(round(self.obj_size * scale)))
         xi = max(0, min(self.width - w, int(round(x))))
         yi = max(0, min(self.height - h, int(round(y))))
-        patch = self.patch
+        patch = self._patch_at(w)
         if self.appearance_drift:
             fade = max(0.25, 1.0 - self.appearance_drift * i)
             patch = (patch.astype(np.float32) * fade).astype(np.uint8)
         img[yi:yi + h, xi:xi + w] = patch
         return img, (float(xi), float(yi), float(w), float(h))
 
+    def _distractor_pos(self, j: int, i: int) -> Tuple[int, int]:
+        s = self.obj_size
+        ax = (self.width - s - 20) / 2
+        ay = (self.height - s - 20) / 2
+        t = i * self.speed / 100.0
+        cx = self.width / 2 + ax * np.sin(0.9 * t + 2.1 + 2.39 * j)
+        cy = self.height / 2 + ay * np.sin(0.6 * t + 4.0 + 1.7 * j)
+        return int(round(cx - s / 2)), int(round(cy - s / 2))
+
     def frame_rgb(self, i: int) -> np.ndarray:
-        x, y, _, _ = self.bbox_at(i)
-        img, _ = self.frame_rgb_at(x, y, i)
+        x, y, w, h = self.bbox_at(i)
+        if not (self._distractors or self.occlusion is not None
+                or self.scale_range is not None):
+            img, _ = self.frame_rgb_at(x, y, i)
+            return img
+        img = self.background.copy()
+        for j in range(len(self._distractors)):       # under the target
+            dx, dy = self._distractor_pos(j, i)
+            self._paste(img, self._patch_at(self.obj_size, j), dx, dy)
+        patch = self._patch_at(int(w))
+        if self.appearance_drift:
+            fade = max(0.25, 1.0 - self.appearance_drift * i)
+            patch = (patch.astype(np.float32) * fade).astype(np.uint8)
+        self._paste(img, patch, int(round(x)), int(round(y)))
+        occ = self.occluder_rect_at(i)                # over the target
+        if occ is not None:
+            ox, oy, ow, oh = occ
+            tex = np.clip(np.round(_bilinear_resize_f32(
+                self._occ_tex, max(ow, oh))), 0, 255).astype(np.uint8)
+            self._paste(img, tex[:oh, :ow], ox, oy)
+        return img
+
+    def frame(self, i: int):
+        rgb = self.frame_rgb(i)
+        if self.fmt == "rgb":
+            return rgb
+        if self.fmt == "yuy2":
+            return rgb_to_yuy2(rgb)
+        return rgb_to_nv12_planes(rgb)
+
+    def __iter__(self) -> Iterator:
+        i = 0
+        while True:
+            yield self.frame(i)
+            i += 1
+
+
+class HeldoutSource:
+    """Held-out eval world: a DIFFERENT generator family from the training
+    distribution (SyntheticSource), used only for generalisation evals.
+
+    Background: multi-octave value noise (Perlin-ish) instead of a single
+    bilinear-upsampled coarse grid.  Target: a filled convex polygon with a
+    radial colour gradient instead of a bordered square patch.  Same
+    iterator/bbox interface as SyntheticSource so evals are drop-in; never
+    used by train/data.py — IoU here measures out-of-family transfer
+    (quality claims on the training family alone overstate robustness).
+    """
+
+    def __init__(self, width: int = 640, height: int = 512, fps: int = 60,
+                 obj_size: int = 64, seed: int = 0, fmt: str = "rgb",
+                 speed: float = 2.0):
+        assert fmt in ("rgb", "nv12", "yuy2")
+        self.width, self.height, self.fps = width, height, fps
+        self.obj_size, self.fmt, self.speed = obj_size, fmt, speed
+        rng = np.random.default_rng(seed + 7919)
+        # Multi-octave value noise background.
+        bg = np.zeros((height, width, 3), np.float32)
+        for octave, amp in ((4, 60.0), (11, 30.0), (29, 14.0)):
+            coarse = rng.uniform(0, 1, (octave + 1, octave + 1, 3)).astype(np.float32)
+            ys = np.linspace(0, octave, height)
+            xs = np.linspace(0, octave, width)
+            y0 = np.floor(ys).astype(int)
+            x0 = np.floor(xs).astype(int)
+            fy = ((ys - y0) ** 2 * (3 - 2 * (ys - y0)))[:, None, None]
+            fx = ((xs - x0) ** 2 * (3 - 2 * (xs - x0)))[None, :, None]
+            y1 = np.minimum(y0 + 1, octave)
+            x1 = np.minimum(x0 + 1, octave)
+            bg += amp * ((1 - fy) * (1 - fx) * coarse[y0][:, x0]
+                         + (1 - fy) * fx * coarse[y0][:, x1]
+                         + fy * (1 - fx) * coarse[y1][:, x0]
+                         + fy * fx * coarse[y1][:, x1])
+        self.background = np.clip(bg + 40, 0, 255).astype(np.uint8)
+        # Convex-polygon target with a radial two-colour gradient.
+        s = obj_size
+        k = int(rng.integers(5, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        # Near-even vertex spacing + high radii keep the polygon fat (a
+        # thin sliver would make the gt box mostly background).
+        ang = 2 * np.pi * np.arange(k) / k + rng.uniform(-0.3, 0.3, k)
+        rad = rng.uniform(0.78, 0.98, k) * (s / 2 - 1)
+        vx = s / 2 + rad * np.cos(ang)
+        vy = s / 2 + rad * np.sin(ang)
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        inside = np.ones((s, s), bool)
+        ccx, ccy = float(vx.mean()), float(vy.mean())
+        for a in range(k):
+            b = (a + 1) % k
+            ex, ey = vx[b] - vx[a], vy[b] - vy[a]
+            side = ex * (yy - vy[a]) - ey * (xx - vx[a])
+            # Half-plane sign chosen so the vertex centroid is inside
+            # (orientation-independent convexity test).
+            ref = ex * (ccy - vy[a]) - ey * (ccx - vx[a])
+            inside &= (side * np.sign(ref)) >= 0
+        c0 = rng.uniform(120, 255, 3).astype(np.float32)
+        c1 = rng.uniform(0, 120, 3).astype(np.float32)
+        r = np.sqrt((xx - s / 2) ** 2 + (yy - s / 2) ** 2) / (s / 2)
+        grad = c0[None, None] * (1 - r[..., None]) + c1[None, None] * r[..., None]
+        self._mask = inside
+        self._poly = np.clip(grad, 0, 255).astype(np.uint8)
+
+    def bbox_at(self, i: int) -> Tuple[float, float, float, float]:
+        s = self.obj_size
+        ax = (self.width - s - 20) / 2
+        ay = (self.height - s - 20) / 2
+        t = i * self.speed / 100.0
+        # Different path frequencies from the training family.
+        cx = self.width / 2 + ax * np.sin(0.85 * t + 0.4)
+        cy = self.height / 2 + ay * np.sin(1.15 * t + 2.2)
+        return (float(cx - s / 2), float(cy - s / 2), float(s), float(s))
+
+    def frame_rgb(self, i: int) -> np.ndarray:
+        img = self.background.copy()
+        x, y, w, h = self.bbox_at(i)
+        xi = max(0, min(self.width - int(w), int(round(x))))
+        yi = max(0, min(self.height - int(h), int(round(y))))
+        region = img[yi:yi + int(h), xi:xi + int(w)]
+        region[self._mask] = self._poly[self._mask]
         return img
 
     def frame(self, i: int):
@@ -166,16 +418,30 @@ class SyntheticSource:
 
 
 class FileSource:
-    """Plays back a stack of frames from a .npy file.
+    """Plays back recorded video from a file.
 
-    RGB: array (N, H, W, 3) uint8.  NV12: ``.npz`` with arrays ``y``
-    (N, H, W) and ``uv`` (N, H/2, W/2, 2).
+    ``.y4m``  — YUV4MPEG2 raw video (what ``ffmpeg -i clip.mp4 out.y4m``
+                produces); decoded frame-at-a-time to NV12 planes feeding
+                the fused NV12 preprocess path (media/y4m.py).
+    ``.npz``  — NV12 plane stacks: arrays ``y`` (N, H, W) and ``uv``
+                (N, H/2, W/2, 2).
+    ``.npy``  — RGB stack (N, H, W, 3) uint8.
     """
 
     def __init__(self, path: str, fps: int = 60, loop: bool = False):
         self.fps = fps
         self.loop = loop
-        if path.endswith(".npz"):
+        self._y4m = None
+        if path.endswith(".y4m"):
+            from .y4m import Y4MReader
+
+            self._y4m = Y4MReader(path)
+            self.fmt = "nv12"
+            self.num_frames = self._y4m.num_frames
+            self.height, self.width = self._y4m.height, self._y4m.width
+            if self._y4m.fps:
+                self.fps = self._y4m.fps
+        elif path.endswith(".npz"):
             data = np.load(path)
             self._y, self._uv = data["y"], data["uv"]
             self.fmt = "nv12"
@@ -190,6 +456,8 @@ class FileSource:
     def frame(self, i: int):
         if self.loop:
             i = i % self.num_frames
+        if self._y4m is not None:
+            return self._y4m.frame_nv12(i)
         if self.fmt == "rgb":
             return self._frames[i]
         return self._y[i], self._uv[i]

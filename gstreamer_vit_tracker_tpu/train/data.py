@@ -85,30 +85,49 @@ def _border_position(rng: np.random.Generator, span: int, obj: int) -> float:
 
 
 def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
-               border_frac: float = 0.4
+               border_frac: float = 0.4, distractor_frac: float = 0.35,
+               occlusion_frac: float = 0.3, full_occ_frac: float = 0.12
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One (template u8, search u8, gt) training triple.
+    """One (template u8, search u8, gt) training triple; gt is
+    (cx, cy, w, h, visible) in search-crop-normalised coords.
 
     With probability ``border_frac`` the target is placed hard against a
     frame border/corner instead of on the Lissajous path — the regime where
     the round-1 checkpoint lost targets (search windows there are heavily
     zero-padded, and the padding fraction grows with scene size).
+
+    Hard-world samples (round-3 robustness — the real tracker faces scale
+    change, lookalike clutter and occlusion, tracker_context.rs:120-138):
+
+    * the target renders at a per-sample scale (size head sees real size
+      variation in PIXELS, not just window-scale jitter);
+    * ``distractor_frac``: a lookalike patch from a DIFFERENT scene lands
+      near (never centred on) the target — discrimination supervision;
+    * ``occlusion_frac``: an occluding slab covers part of the target
+      (labels intact), or — ``full_occ_frac`` of all samples — covers it
+      entirely, labelled ``visible=0`` (trains the all-negative score map
+      the Lost machine's 0.25 threshold depends on).
+
+    The template crop is taken BEFORE distractor/occluder pasting: the
+    template is always clean, matching serve-time init on a confirmed box.
     """
     seed = int(rng.integers(0, 2 ** 31))
     obj = int(rng.integers(32, 72))
     src = _pooled_source(seed, obj)
+    scale = float(np.exp(rng.uniform(np.log(0.7), np.log(1.5))))
+    sobj = max(8, int(round(obj * scale)))
     if rng.random() < border_frac:
         # Border sample: at least one axis pinned to an edge.
         axes = rng.integers(0, 3)  # 0: x edge, 1: y edge, 2: corner
-        px = (_border_position(rng, src.width, obj) if axes != 1
-              else float(rng.integers(0, src.width - obj + 1)))
-        py = (_border_position(rng, src.height, obj) if axes != 0
-              else float(rng.integers(0, src.height - obj + 1)))
-        frame, (x, y, w, h) = src.frame_rgb_at(px, py)
+        px = (_border_position(rng, src.width, sobj) if axes != 1
+              else float(rng.integers(0, max(src.width - sobj, 1) + 1)))
+        py = (_border_position(rng, src.height, sobj) if axes != 0
+              else float(rng.integers(0, max(src.height - sobj, 1) + 1)))
+        frame, (x, y, w, h) = src.frame_rgb_at(px, py, scale=scale)
     else:
         i = int(rng.integers(0, 200))
-        frame = src.frame_rgb(i)
-        x, y, w, h = src.bbox_at(i)
+        x, y, _, _ = src.bbox_at(i)
+        frame, (x, y, w, h) = src.frame_rgb_at(x, y, i, scale=scale)
     cx, cy = x + w / 2, y + h / 2
 
     # Template: window around the target, mildly jittered (the online
@@ -118,6 +137,36 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
     zx = cx + rng.uniform(-0.05, 0.05) * w
     zy = cy + rng.uniform(-0.05, 0.05) * h
     z = _crop_np(frame, zx, zy, zsize, cfg.template_size)
+
+    # --- Hard-world pasting (after the template crop, before the search
+    # crop, in place on the shared frame buffer).
+    visible = 1.0
+    if rng.random() < distractor_frac:
+        src2 = _pooled_source(seed + 3, obj)
+        dsize = max(8, int(round(w * rng.uniform(0.7, 1.3))))
+        ang = rng.uniform(0, 2 * np.pi)
+        rad = rng.uniform(0.9, 2.2) * w
+        dx = int(round(cx + rad * np.cos(ang) - dsize / 2))
+        dy = int(round(cy + rad * np.sin(ang) - dsize / 2))
+        src._paste(frame, src2._patch_at(dsize), dx, dy)
+    u = rng.random()
+    if u < full_occ_frac:
+        # Full occlusion: slab bigger than the target, centred on it.
+        ow, oh = int(round(1.3 * w)), int(round(1.3 * h))
+        occ = np.clip(rng.normal(0, 8, (oh, ow, 3))
+                      + rng.integers(70, 110), 0, 255).astype(np.uint8)
+        src._paste(frame, occ,
+                   int(round(cx - ow / 2 + rng.uniform(-0.05, 0.05) * w)),
+                   int(round(cy - oh / 2 + rng.uniform(-0.05, 0.05) * h)))
+        visible = 0.0
+    elif u < occlusion_frac:
+        # Partial occlusion: a side strip, 25-60% of the width.
+        ow = max(2, int(round(w * rng.uniform(0.25, 0.6))))
+        oh = int(round(1.2 * h))
+        occ = np.clip(rng.normal(0, 8, (oh, ow, 3))
+                      + rng.integers(70, 110), 0, 255).astype(np.uint8)
+        ox_ = int(round(x if rng.random() < 0.5 else x + w - ow))
+        src._paste(frame, occ, ox_, int(round(cy - oh / 2)))
 
     # Search: window around a jittered box (simulating motion between
     # frames); gt expressed inside that window.  The window SCALE is
@@ -135,7 +184,7 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
 
     ox, oy = jx - ssize / 2, jy - ssize / 2
     gt = np.array([(cx - ox) / ssize, (cy - oy) / ssize,
-                   w / ssize, h / ssize], np.float32)
+                   w / ssize, h / ssize, visible], np.float32)
     to_u8 = lambda a: np.clip(np.round(a), 0, 255).astype(np.uint8)  # noqa: E731
     return to_u8(z), to_u8(xim), gt
 
@@ -143,8 +192,9 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
 def make_batch(rng: np.random.Generator, batch: int, cfg: ModelConfig,
                border_frac: float = 0.4
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (z_imgs (B,Hz,Wz,3), x_imgs (B,Hx,Wx,3), gt (B,4)) —
-    normalised crops + (cx, cy, w, h) in search-crop-normalised coords."""
+    """Returns (z_imgs (B,Hz,Wz,3), x_imgs (B,Hx,Wx,3), gt (B,5)) —
+    normalised crops + (cx, cy, w, h, visible) in search-crop-normalised
+    coords (visible=0 marks fully-occluded negatives)."""
     z_list, x_list, gt_list = [], [], []
     for _ in range(batch):
         z, x, gt = sample_raw(rng, cfg, border_frac)

@@ -101,30 +101,38 @@ def giou_loss(pred_cxywh: jnp.ndarray, gt_cxywh: jnp.ndarray) -> jnp.ndarray:
 
 
 def total_loss(score: jnp.ndarray, offset: jnp.ndarray, size: jnp.ndarray,
-               gt_bbox_norm: jnp.ndarray,
+               gt_bbox_norm: jnp.ndarray, visible: jnp.ndarray | None = None,
                w_focal: float = 1.0, w_l1: float = 5.0, w_giou: float = 2.0
                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Combined loss for ONE sample.
 
     ``score`` (fs, fs); ``offset``/``size`` (fs, fs, 2);
     ``gt_bbox_norm`` = (cx, cy, w, h) normalised to the search crop.
+
+    ``visible`` (scalar in {0, 1} or None==1): a fully-occluded sample
+    trains the score map to ALL-NEGATIVE (no positive cell, so the model
+    learns to report low confidence when the target is hidden — what the
+    session machine's 0.25 Lost threshold keys on,
+    /root/reference/src/tracker_context.rs:122-138) and masks out the
+    offset/size/giou regressions, whose labels point at an invisible box.
     """
     fs = score.shape[-1]
-    target = gaussian_target(fs, gt_bbox_norm[:2])
+    vis = jnp.float32(1.0) if visible is None else visible.astype(jnp.float32)
+    target = gaussian_target(fs, gt_bbox_norm[:2]) * vis
     lf = focal_loss(score, target)
 
     cy_cell, cx_cell = centre_cell(fs, gt_bbox_norm[:2])
     gt_off = jnp.stack([gt_bbox_norm[0] * fs - cx_cell,
                         gt_bbox_norm[1] * fs - cy_cell])
-    lo = l1_at_cell(offset, gt_off, (cy_cell, cx_cell))
-    ls = l1_at_cell(size, gt_bbox_norm[2:4], (cy_cell, cx_cell))
+    lo = l1_at_cell(offset, gt_off, (cy_cell, cx_cell)) * vis
+    ls = l1_at_cell(size, gt_bbox_norm[2:4], (cy_cell, cx_cell)) * vis
 
     pred = jnp.concatenate([
         (jnp.stack([cx_cell, cy_cell]).astype(jnp.float32)
          + offset[cy_cell, cx_cell]) / fs,
         size[cy_cell, cx_cell],
     ])
-    lg = giou_loss(pred, gt_bbox_norm)
+    lg = giou_loss(pred, gt_bbox_norm) * vis
 
     total = w_focal * lf + w_l1 * (lo + ls) + w_giou * lg
     return total, {"focal": lf, "l1_offset": lo, "l1_size": ls, "giou": lg}

@@ -81,7 +81,9 @@ def create_train_state(params: Params, lr: float = 1e-4,
 def loss_fn(params: Params, z_imgs, x_imgs, gts, cfg: ModelConfig,
             use_pallas: bool | None = None):
     """Mean loss over the batch.  Inputs are normalised crops
-    (B, Hz, Wz, 3), (B, Hx, Wx, 3) and (B, 4) crop-normalised gt boxes."""
+    (B, Hz, Wz, 3), (B, Hx, Wx, 3) and (B, 4) crop-normalised gt boxes —
+    or (B, 5) with a trailing per-sample visibility flag (0 = target fully
+    occluded in the search crop; trains the all-negative score map)."""
     z_tok = vit.embed_template(params["backbone"], z_imgs, cfg)
     x_tok = vit.embed_search(params["backbone"], x_imgs, cfg)
     # fused=False: training always uses the XLA encoder (the fused
@@ -92,7 +94,8 @@ def loss_fn(params: Params, z_imgs, x_imgs, gts, cfg: ModelConfig,
     score, offset, size = conv_head(params["head"], x_feat, cfg)
 
     def one(s, o, z, gt):
-        return losses.total_loss(s, o, z, gt)
+        vis = gt[4] if gt.shape[0] == 5 else None
+        return losses.total_loss(s, o, z, gt[:4], visible=vis)
 
     total, parts = jax.vmap(one)(score, offset, size, gts)
     return total.mean(), {k: v.mean() for k, v in parts.items()}
@@ -152,9 +155,11 @@ def _augment(key, z, x, gt, mean, std):
     flip = jax.random.bernoulli(kf, 0.5, (b,))
     zf = jnp.where(flip[:, None, None, None], zf[:, :, ::-1, :], zf)
     xf = jnp.where(flip[:, None, None, None], xf[:, :, ::-1, :], xf)
+    # Width-agnostic (gt is (B, 4) or (B, 5) with a visibility flag):
+    # a horizontal flip negates only cx.
     gt = jnp.where(flip[:, None],
-                   jnp.stack([1.0 - gt[:, 0], gt[:, 1], gt[:, 2], gt[:, 3]],
-                             axis=-1), gt)
+                   jnp.concatenate([1.0 - gt[:, :1], gt[:, 1:]], axis=-1),
+                   gt)
 
     contrast = jax.random.uniform(kc, (b, 1, 1, 1), minval=0.8, maxval=1.2)
     bright = jax.random.uniform(kb, (b, 1, 1, 1), minval=-0.08, maxval=0.08)

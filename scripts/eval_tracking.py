@@ -1,11 +1,23 @@
 """Evaluate tracking quality: IoU vs ground truth on synthetic videos.
 
     python scripts/eval_tracking.py --preset small --checkpoint w.npz
-    python scripts/eval_tracking.py --preset corr-tiny       # training-free
+    python scripts/eval_tracking.py --preset vittrack-t --checkpoint w.npz \
+        --scenario scale --frames 600
 
-Reports per-sequence mean/min IoU and mean confidence — the framework's
-quantitative substitute for the reference's validate-by-eye workflow
-(SURVEY.md §4).
+Scenarios (the quantitative substitute for the reference's
+validate-by-eye workflow, SURVEY.md §4; the hard scenarios exercise what
+the reference meets in real camera video, tracker_context.rs:120-138):
+
+  basic      — fixed-size target on a Lissajous path (training family)
+  scale      — target size sweeps 0.5x -> 2x over the sequence (size head)
+  occlusion  — an occluder sweeps over the target every 200 frames; checks
+               confidence COLLAPSES while hidden (the Lost machine's 0.25
+               threshold) and the track RE-ACQUIRES after
+  distractor — two lookalike patches glide under the target (association)
+  heldout    — out-of-family generator (HeldoutSource): generalisation
+  all        — run every scenario, print a summary table
+
+Reports per-sequence mean/min IoU and mean confidence.
 """
 
 from __future__ import annotations
@@ -23,7 +35,8 @@ from gstreamer_vit_tracker_tpu.config import ModelConfig
 from gstreamer_vit_tracker_tpu.utils import compile_cache
 
 compile_cache.enable()
-from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
+from gstreamer_vit_tracker_tpu.media.source import (HeldoutSource,
+                                                    SyntheticSource)
 from gstreamer_vit_tracker_tpu.models import vittrack, weights
 from gstreamer_vit_tracker_tpu.tracker import core
 
@@ -36,6 +49,8 @@ PRESETS = {
     "vittrack-t": ModelConfig(),
 }
 
+SCENARIOS = ("basic", "scale", "occlusion", "distractor", "heldout")
+
 
 def iou(a, b):
     ix = max(0.0, min(a[0] + a[2], b[0] + b[2]) - max(a[0], b[0]))
@@ -44,10 +59,67 @@ def iou(a, b):
     return inter / (a[2] * a[3] + b[2] * b[3] - inter)
 
 
+def make_source(scenario: str, seq: int, args) -> object:
+    obj = 40 + 8 * seq
+    kw = dict(obj_size=obj, seed=seq, speed=args.speed)
+    if scenario == "heldout":
+        return HeldoutSource(args.width, args.height, **kw)
+    if scenario == "scale":
+        kw.update(scale_range=(0.5, 2.0), scale_period=args.frames)
+    elif scenario == "occlusion":
+        kw.update(occlusion=(200, 41))
+    elif scenario == "distractor":
+        kw.update(n_distractors=2)
+    return SyntheticSource(args.width, args.height, **kw)
+
+
+def run_sequence(upd, params, cfg, src, frames: int, thr: float = 0.25):
+    """Track one sequence.  Returns per-frame (iou, conf, visible_frac)."""
+    st = core.init(params, jnp.asarray(src.frame_rgb(0)),
+                   jnp.asarray(src.bbox_at(0)), cfg)
+    rows = []
+    for i in range(1, frames + 1):
+        st, bbox, conf = upd(params, st, jnp.asarray(src.frame_rgb(i)))
+        vis = (src.visible_frac_at(i)
+               if hasattr(src, "visible_frac_at") else 1.0)
+        rows.append((iou(np.asarray(bbox), np.asarray(src.bbox_at(i))),
+                     float(conf), vis))
+    return np.asarray(rows)
+
+
+def summarize(scenario: str, rows: np.ndarray, thr: float) -> dict:
+    """Scenario-aware metrics from (N, 3) [iou, conf, visible] rows."""
+    visible = rows[:, 2] >= 0.7
+    hidden = rows[:, 2] < 0.3
+    out = {
+        "mean_iou": float(rows[visible, 0].mean()),
+        "min_iou": float(rows[visible, 0].min()),
+        "mean_conf": float(rows[visible, 1].mean()),
+        "lost_frames": int((rows[visible, 1] <= thr).sum()),
+    }
+    if hidden.any():
+        # While the target is hidden the tracker must NOT stay confident
+        # (silent drift); the session machine keys Lost off conf <= 0.25.
+        out["hidden_conf_max"] = float(rows[hidden, 1].max())
+        out["hidden_below_thr_frac"] = float((rows[hidden, 1] <= thr).mean())
+        # Re-acquisition: mean IoU over the 20 frames after each occlusion
+        # window ends (target fully visible again).
+        post = []
+        n = len(rows)
+        for i in range(1, n):
+            if rows[i - 1, 2] < 1.0 and rows[i, 2] == 1.0:
+                post.extend(rows[i + 5:i + 20, 0])   # skip 5 settle frames
+        if post:
+            out["reacquire_iou"] = float(np.mean(post))
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="corr-tiny", choices=sorted(PRESETS))
     ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--scenario", default="basic",
+                    choices=SCENARIOS + ("all",))
     ap.add_argument("--seqs", type=int, default=5)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--speed", type=float, default=3.0)
@@ -62,24 +134,33 @@ def main(argv=None) -> int:
         print(f"loaded {args.checkpoint}")
 
     upd = jax.jit(lambda p, s, f: core.update(p, s, f, cfg))
-    all_means = []
-    for seq in range(args.seqs):
-        src = SyntheticSource(args.width, args.height,
-                              obj_size=40 + 8 * seq, seed=seq,
-                              speed=args.speed)
-        st = core.init(params, jnp.asarray(src.frame_rgb(0)),
-                       jnp.asarray(src.bbox_at(0)), cfg)
-        ious, confs = [], []
-        for i in range(1, args.frames + 1):
-            st, bbox, conf = upd(params, st, jnp.asarray(src.frame_rgb(i)))
-            ious.append(iou(np.asarray(bbox), np.asarray(src.bbox_at(i))))
-            confs.append(float(conf))
-        ious = np.asarray(ious)
-        all_means.append(ious.mean())
-        print(f"seq {seq} (obj {40 + 8 * seq}px): mean IoU {ious.mean():.3f} "
-              f"min {ious.min():.3f} last {ious[-1]:.3f} "
-              f"conf {np.mean(confs):.2f}")
-    print(f"\noverall mean IoU: {np.mean(all_means):.3f}")
+    scenarios = SCENARIOS if args.scenario == "all" else (args.scenario,)
+    summary = {}
+    for scenario in scenarios:
+        print(f"--- scenario: {scenario}")
+        all_rows = []
+        for seq in range(args.seqs):
+            src = make_source(scenario, seq, args)
+            rows = run_sequence(upd, params, cfg, src, args.frames)
+            all_rows.append(rows)
+            s = summarize(scenario, rows, 0.25)
+            extra = "".join(
+                f" {k} {v:.3f}" for k, v in s.items()
+                if k in ("hidden_conf_max", "reacquire_iou"))
+            print(f"seq {seq} (obj {40 + 8 * seq}px): "
+                  f"mean IoU {s['mean_iou']:.3f} min {s['min_iou']:.3f} "
+                  f"conf {s['mean_conf']:.2f} lost {s['lost_frames']}"
+                  + extra)
+        s = summarize(scenario, np.concatenate(all_rows), 0.25)
+        summary[scenario] = s
+        print(f"{scenario}: overall mean IoU {s['mean_iou']:.3f}"
+              + (f", hidden conf max {s['hidden_conf_max']:.3f}"
+                 if "hidden_conf_max" in s else ""))
+    if len(scenarios) > 1:
+        print("\nscenario        mean_iou  min_iou  lost")
+        for k, s in summary.items():
+            print(f"{k:15s} {s['mean_iou']:8.3f} {s['min_iou']:8.3f} "
+                  f"{s['lost_frames']:5d}")
     return 0
 
 

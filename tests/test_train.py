@@ -42,8 +42,38 @@ def test_make_batch_shapes(rng):
     z, x, gt = data.make_batch(rng, 2, TINY)
     assert z.shape == (2, 32, 32, 3)
     assert x.shape == (2, 64, 64, 3)
-    assert gt.shape == (2, 4)
-    assert (gt[:, 2:] > 0).all() and (gt <= 1.5).all()
+    assert gt.shape == (2, 5)       # (cx, cy, w, h, visible)
+    assert (gt[:, 2:4] > 0).all() and (gt[:, :4] <= 1.5).all()
+    assert np.isin(gt[:, 4], (0.0, 1.0)).all()
+
+
+def test_sample_raw_visibility_negatives(rng):
+    """Full-occlusion samples carry visible=0 and occur at the configured
+    rate; the search crop there shows the occluder, not the target."""
+    n_vis0 = 0
+    for _ in range(60):
+        z, x, gt = data.sample_raw(rng, TINY, full_occ_frac=0.5,
+                                   occlusion_frac=0.5)
+        assert gt.shape == (5,)
+        n_vis0 += int(gt[4] == 0.0)
+    assert 10 < n_vis0 < 50      # ~30 expected at 0.5
+
+
+def test_total_loss_invisible_masks_regressions():
+    fs = 8
+    score = jnp.full((fs, fs), 0.4)
+    offset = jnp.full((fs, fs, 2), 0.3)
+    size = jnp.full((fs, fs, 2), 0.2)
+    gt = jnp.asarray([0.5, 0.5, 0.25, 0.25])
+    tot_v, parts_v = losses.total_loss(score, offset, size, gt,
+                                       visible=jnp.float32(0.0))
+    assert float(parts_v["l1_offset"]) == 0.0
+    assert float(parts_v["l1_size"]) == 0.0
+    assert float(parts_v["giou"]) == 0.0
+    # Invisible target: a LOW score map must cost less than a high one.
+    lo, _ = losses.total_loss(jnp.full((fs, fs), 0.01), offset, size, gt,
+                              visible=jnp.float32(0.0))
+    assert float(lo) < float(tot_v)
 
 
 @pytest.mark.slow

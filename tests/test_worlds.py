@@ -1,0 +1,102 @@
+"""Hard-world synthetic source tests: scale schedule, occlusion sweep,
+distractors, and the held-out generator family.
+
+The reference's tracker faces scale change, occlusion and clutter from real
+camera video (/root/reference/src/tracker_context.rs:120-138 consumes
+per-frame bbox+score under arbitrary motion); these tests pin the synthetic
+analogs that train/eval that robustness.
+"""
+
+import numpy as np
+
+from gstreamer_vit_tracker_tpu.media.source import (HeldoutSource,
+                                                    SyntheticSource)
+
+
+def test_default_world_unchanged():
+    """Default-args rendering must stay identical to the plain path (the
+    round-1/2 checkpoints and goldens were trained/pinned on it)."""
+    src = SyntheticSource(320, 256, obj_size=48, seed=3)
+    f = src.frame_rgb(17)
+    img, _ = src.frame_rgb_at(*src.bbox_at(17)[:2], 17)
+    assert np.array_equal(f, img)
+    assert src.scale_at(123) == 1.0
+    assert src.visible_frac_at(123) == 1.0
+    assert src.occluder_rect_at(123) is None
+
+
+def test_scale_schedule_sweeps_range_and_stays_in_frame():
+    src = SyntheticSource(640, 512, obj_size=64, seed=1,
+                          scale_range=(0.5, 2.0), scale_period=600)
+    sizes = [src.bbox_at(i)[2] for i in range(0, 600, 25)]
+    assert min(sizes) <= 34 and max(sizes) >= 126
+    for i in range(0, 600, 7):
+        x, y, w, h = src.bbox_at(i)
+        assert x >= 0 and y >= 0 and x + w <= 640 and y + h <= 512
+    # The rendered target really is w px wide: the bright 250-border shows
+    # at the box edge at both extremes of the sweep (bilinear downsampling
+    # softens the 3-px border at the trough, hence the looser floor there).
+    for i, floor in ((150, 240), (450, 170)):    # scale peak / trough
+        x, y, w, h = src.bbox_at(i)
+        f = src.frame_rgb(i)
+        assert f[int(y) + 1, int(x) + 1].min() >= floor
+        assert f[int(y + h) - 2, int(x + w) - 2].min() >= floor
+
+
+def test_occlusion_full_at_midpoint_clear_outside():
+    src = SyntheticSource(640, 512, obj_size=64, seed=2, occlusion=(200, 41))
+    assert src.visible_frac_at(100) == 1.0
+    vis = [src.visible_frac_at(i) for i in range(41)]
+    assert min(vis) == 0.0
+    assert vis[0] > 0.95 and vis[-1] > 0.95
+    # At the midpoint the rendered target area shows the occluder slab
+    # (dark gray), not the bright target border.
+    i = int(np.argmin(vis))
+    x, y, w, h = src.bbox_at(i)
+    f = src.frame_rgb(i)
+    assert f[int(y) + 2:int(y) + 6, int(x) + 2:int(x) + 6].max() < 200
+
+
+def test_distractors_deterministic_and_present():
+    mk = lambda: SyntheticSource(640, 512, obj_size=64, seed=4,  # noqa: E731
+                                 n_distractors=2)
+    a, b = mk().frame_rgb(33), mk().frame_rgb(33)
+    assert np.array_equal(a, b)
+    plain = SyntheticSource(640, 512, obj_size=64, seed=4).frame_rgb(33)
+    assert not np.array_equal(a, plain)
+    # Distractors render UNDER the target: the target area is unchanged.
+    src = mk()
+    x, y, w, h = src.bbox_at(33)
+    ys, xs = slice(int(y), int(y + h)), slice(int(x), int(x + w))
+    assert np.array_equal(src.frame_rgb(33)[ys, xs], plain[ys, xs])
+
+
+def test_heldout_world_contract():
+    src = HeldoutSource(320, 256, obj_size=48, seed=0)
+    f = src.frame_rgb(12)
+    assert f.shape == (256, 320, 3) and f.dtype == np.uint8
+    x, y, w, h = src.bbox_at(12)
+    assert 0 <= x and x + w <= 320 and 0 <= y and y + h <= 256
+    # Deterministic, and a different family from SyntheticSource.
+    assert np.array_equal(f, HeldoutSource(320, 256, obj_size=48,
+                                           seed=0).frame_rgb(12))
+    other = SyntheticSource(320, 256, obj_size=48, seed=0).frame_rgb(12)
+    assert not np.array_equal(f, other)
+    # The polygon target occupies a substantial part of its gt box.
+    box = f[int(y):int(y + h), int(x):int(x + w)]
+    bg = HeldoutSource(320, 256, obj_size=48, seed=0).background[
+        int(y):int(y + h), int(x):int(x + w)]
+    assert (np.abs(box.astype(int) - bg.astype(int)).sum(-1) > 30).mean() > 0.3
+
+
+def test_nv12_yuy2_formats_compose_with_worlds():
+    for fmt in ("nv12", "yuy2"):
+        src = SyntheticSource(64, 32, obj_size=12, seed=0, fmt=fmt,
+                              scale_range=(0.8, 1.2), n_distractors=1,
+                              occlusion=(50, 11))
+        f = src.frame(5)
+        if fmt == "nv12":
+            y, uv = f
+            assert y.shape == (32, 64) and uv.shape == (16, 32, 2)
+        else:
+            assert f.shape == (32, 128)
