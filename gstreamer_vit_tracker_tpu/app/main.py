@@ -72,11 +72,18 @@ def build_argparser() -> argparse.ArgumentParser:
                          "(legacy 1080p path, luma HUD), yuy2 (camera format)")
     ap.add_argument("--headless", action="store_true",
                     help="no keyboard; auto-init on the synthetic target")
-    ap.add_argument("--record", default="", help="write frames to this .npy")
+    ap.add_argument("--record", default="",
+                    help="record frames to this path (.y4m streams raw "
+                         "video playable anywhere; other suffixes collect "
+                         "an .npy stack)")
     ap.add_argument("--preview", type=int, default=-1, metavar="PORT",
                     help="serve a live MJPEG preview on this HTTP port "
                          "(0 = ephemeral port; the headless analog of the "
                          "reference's kmssink display, pipeline_ir.rs:80-84)")
+    ap.add_argument("--preview-host", default="127.0.0.1",
+                    help="interface for --preview (default loopback; the "
+                         "stream is unauthenticated — bind 0.0.0.0 only "
+                         "knowingly)")
     ap.add_argument("--display-scale", action="store_true",
                     help="upscale output frames to the display resolution "
                          "on device (the reference's rgaconvert hardware "
@@ -168,8 +175,8 @@ def main(argv=None) -> int:
     if args.record:
         sinks.append(FileSink(args.record))
     if args.preview >= 0:
-        preview = MJPEGSink(args.preview)
-        print(f"live preview: http://0.0.0.0:{preview.port}/")
+        preview = MJPEGSink(args.preview, host=args.preview_host)
+        print(f"live preview: http://{preview.host}:{preview.port}/")
         sinks.append(preview)
     if len(sinks) == 0:
         sink = NullSink()

@@ -124,6 +124,23 @@ class ModelConfig:
     # (ops/preprocess.py::band_origin).  None disables banding; windows
     # larger than the band fade to zero padding at the fringe.
     preprocess_band: Optional[int] = 1152
+    # Below this confidence the tracker FREEZES its carried bbox (search
+    # window + size) instead of following the decoded peak: during a full
+    # occlusion the maps are noise and following them walks the search
+    # window away from where the target will reappear.  Matches the
+    # session machine's Lost threshold (tracker_context.rs:122) so the
+    # window holds exactly while the session counts lost frames, enabling
+    # re-acquisition when the occluder passes.  0.0 restores the
+    # always-follow behaviour (what cv2's TrackerVit does internally).
+    window_freeze_threshold: float = 0.25
+    # Re-detection ramp: with the window frozen in place, each consecutive
+    # low-confidence frame multiplies the search-window factor by
+    # ``lost_window_growth`` (capped at ``lost_window_max_growth``x) so a
+    # target that drifted while occluded is still inside the window when
+    # it reappears.  1.12^20 ~= 2.5x: after ~20 hidden frames the window
+    # covers ~2.5x the normal context.  1.0 disables the ramp.
+    lost_window_growth: float = 1.12
+    lost_window_max_growth: float = 2.5
 
     @property
     def feat_size(self) -> int:

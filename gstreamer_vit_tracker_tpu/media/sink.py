@@ -69,13 +69,18 @@ class MJPEGSink:
     sees the newest frame when it catches up.
 
     ``port=0`` binds an ephemeral port (see ``.port``).  Open
-    ``http://<host>:<port>/`` in a browser.
+    ``http://<host>:<port>/`` in a browser.  Binds loopback by default —
+    the stream is an unauthenticated live video feed; pass
+    ``host="0.0.0.0"`` (app: ``--preview-host``) to expose it knowingly.
     """
 
     def __init__(self, port: int = 8080, quality: int = 80,
-                 max_fps: float = 60.0):
+                 max_fps: float = 60.0, host: str = "127.0.0.1"):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+        # Fail fast (not in a handler thread mid-stream) when no JPEG
+        # encoder exists in the environment.
+        _encode_jpeg(np.zeros((2, 2, 3), np.uint8), 80)
         self.frames = 0
         self.quality = quality
         self._latest = None          # newest frame (device or host array)
@@ -129,8 +134,16 @@ class MJPEGSink:
                             time.sleep(min_interval - dt)
                 except (BrokenPipeError, ConnectionResetError):
                     pass
+                except Exception as e:       # noqa: BLE001 — e.g. a device
+                    # fetch failing during a relay outage must not kill the
+                    # handler thread with a silent traceback: log once and
+                    # close this client's stream cleanly (the browser
+                    # reconnects).
+                    print(f"[preview] stream closed: {type(e).__name__}: "
+                          f"{e}", flush=True)
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.host = host
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever,
                                         daemon=True)

@@ -57,6 +57,23 @@ def rgb_to_nv12_planes(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return y, uv
 
 
+def _upsample_grid(coarse: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Bilinear upsample of an (n+1, n+1, 3) control grid to (H, W, 3)."""
+    n = coarse.shape[0] - 1
+    ys = np.linspace(0, n, height)
+    xs = np.linspace(0, n, width)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    y1 = np.minimum(y0 + 1, n)
+    x1 = np.minimum(x0 + 1, n)
+    return ((1 - fy) * (1 - fx) * coarse[y0][:, x0]
+            + (1 - fy) * fx * coarse[y0][:, x1]
+            + fy * (1 - fx) * coarse[y1][:, x0]
+            + fy * fx * coarse[y1][:, x1])
+
+
 def _bilinear_resize_f32(img: np.ndarray, out: int) -> np.ndarray:
     """Square bilinear resize (half-pixel centres), float32 out."""
     n = img.shape[0]
@@ -102,8 +119,11 @@ class SyntheticSource:
                  scale_range: Optional[Tuple[float, float]] = None,
                  scale_period: int = 300,
                  occlusion: Optional[Tuple[int, int]] = None,
-                 n_distractors: int = 0):
+                 n_distractors: int = 0,
+                 patch_style: str = "quad", bg_style: str = "smooth"):
         assert fmt in ("rgb", "nv12", "yuy2")
+        assert patch_style in ("quad", "noise", "grad", "stripes")
+        assert bg_style in ("smooth", "octave")
         # appearance_drift > 0 darkens the target over time (tests the
         # online template update, BASELINE.json config 3).
         self.appearance_drift = appearance_drift
@@ -119,50 +139,62 @@ class SyntheticSource:
         self.n_distractors = n_distractors
         self._patch_cache: dict = {}
         rng = np.random.default_rng(seed)
-        # Smooth background: coarse noise, bilinear-upsampled.
-        coarse = rng.integers(40, 140, size=(8, 8, 3)).astype(np.float32)
-        ys = np.linspace(0, 7, height)
-        xs = np.linspace(0, 7, width)
-        y0 = np.floor(ys).astype(int)
-        x0 = np.floor(xs).astype(int)
-        fy = (ys - y0)[:, None, None]
-        fx = (xs - x0)[None, :, None]
-        y1 = np.minimum(y0 + 1, 7)
-        x1 = np.minimum(x0 + 1, 7)
-        bg = ((1 - fy) * (1 - fx) * coarse[y0][:, x0]
-              + (1 - fy) * fx * coarse[y0][:, x1]
-              + fy * (1 - fx) * coarse[y1][:, x0]
-              + fy * fx * coarse[y1][:, x1])
+        # Background.  "smooth" (default): one coarse-noise grid,
+        # bilinear-upsampled (the original family — draw order unchanged,
+        # so default scenes are bit-identical to earlier rounds).
+        # "octave": two value-noise octaves (training-time appearance
+        # diversity; the held-out eval family stays distinct: smoothstep
+        # interpolation, 3 octaves, polygon target — HeldoutSource).
+        if bg_style == "smooth":
+            coarse = rng.integers(40, 140, size=(8, 8, 3)).astype(np.float32)
+            bg = _upsample_grid(coarse, height, width)
+        else:
+            bg = np.zeros((height, width, 3), np.float32)
+            for g, amp in ((5, 0.62), (17, 0.38)):
+                grid = rng.integers(30, 150, size=(g + 1, g + 1, 3)
+                                    ).astype(np.float32)
+                bg += amp * _upsample_grid(grid, height, width)
         self.background = np.clip(bg, 0, 255).astype(np.uint8)
-        # Object: smooth, aperiodic, high-saturation patch with a bright
-        # border.  (A periodic checkerboard would alias under correlation —
-        # multiple shifts match equally well.)
+        # Object patch styles.  "quad" (default): smooth aperiodic
+        # high-saturation 4x4 grid with a bright border.  (A periodic
+        # checkerboard would alias under correlation — multiple shifts
+        # match equally well.)  The others diversify the appearance family
+        # for training: "noise" (finer 8x8 grid, border), "grad"
+        # (two-colour linear gradient, NO border — breaks any learned
+        # bright-frame shortcut), "stripes" (two-colour diagonal stripes,
+        # no border).
         s = obj_size
-        pc = rng.integers(0, 256, size=(4, 4, 3)).astype(np.float32)
-        pys = np.linspace(0, 3, s)
-        pxs = np.linspace(0, 3, s)
-        py0 = np.floor(pys).astype(int)
-        px0 = np.floor(pxs).astype(int)
-        pfy = (pys - py0)[:, None, None]
-        pfx = (pxs - px0)[None, :, None]
-        py1 = np.minimum(py0 + 1, 3)
-        px1 = np.minimum(px0 + 1, 3)
-        patch = ((1 - pfy) * (1 - pfx) * pc[py0][:, px0]
-                 + (1 - pfy) * pfx * pc[py0][:, px1]
-                 + pfy * (1 - pfx) * pc[py1][:, px0]
-                 + pfy * pfx * pc[py1][:, px1])
         yy, xx = np.mgrid[0:s, 0:s]
         border = (yy < 3) | (yy >= s - 3) | (xx < 3) | (xx >= s - 3)
-        patch[border] = (250, 250, 250)
+        if patch_style == "quad":
+            pc = rng.integers(0, 256, size=(4, 4, 3)).astype(np.float32)
+            patch = _upsample_grid(pc, s, s)
+            patch[border] = (250, 250, 250)
+        elif patch_style == "noise":
+            pc = rng.integers(0, 256, size=(8, 8, 3)).astype(np.float32)
+            patch = _upsample_grid(pc, s, s)
+            patch[border] = (250, 250, 250)
+        elif patch_style == "grad":
+            c0 = rng.uniform(0, 255, 3).astype(np.float32)
+            c1 = rng.uniform(0, 255, 3).astype(np.float32)
+            ang = rng.uniform(0, 2 * np.pi)
+            t = (np.cos(ang) * xx + np.sin(ang) * yy).astype(np.float32)
+            t = (t - t.min()) / max(t.max() - t.min(), 1e-6)
+            patch = c0 * (1 - t[..., None]) + c1 * t[..., None]
+        else:                                   # stripes
+            c0 = rng.uniform(0, 255, 3).astype(np.float32)
+            c1 = rng.uniform(0, 255, 3).astype(np.float32)
+            period = float(rng.integers(6, 17))
+            ang = rng.uniform(0, 2 * np.pi)
+            t = np.cos(ang) * xx + np.sin(ang) * yy
+            stripe = ((t // (period / 2)) % 2).astype(np.float32)
+            patch = c0 * (1 - stripe[..., None]) + c1 * stripe[..., None]
         self.patch = np.clip(patch, 0, 255).astype(np.uint8)
         # Lookalike distractors: same construction recipe, different draws.
         self._distractors = []
         for _ in range(n_distractors):
             dc = rng.integers(0, 256, size=(4, 4, 3)).astype(np.float32)
-            dp = ((1 - pfy) * (1 - pfx) * dc[py0][:, px0]
-                  + (1 - pfy) * pfx * dc[py0][:, px1]
-                  + pfy * (1 - pfx) * dc[py1][:, px0]
-                  + pfy * pfx * dc[py1][:, px1])
+            dp = _upsample_grid(dc, s, s)
             dp[border] = (250, 250, 250)
             self._distractors.append(np.clip(dp, 0, 255).astype(np.uint8))
         # Occluder: a flat-ish textured slab, unlike both background and
@@ -209,7 +241,10 @@ class SyntheticSource:
         if self.occlusion is None:
             return None
         period, length = self.occlusion
-        p = i % period
+        # Windows are centred mid-period so every sequence starts with a
+        # clean tracking stretch before the first occlusion (an occlusion
+        # in the first frames would corrupt the very init the eval seeds).
+        p = (i - period // 2) % period
         if p >= length:
             return None
         u = p / max(length - 1, 1)
@@ -228,7 +263,7 @@ class SyntheticSource:
         ox, oy, ow, oh = occ
         ix = max(0.0, min(x + w, ox + ow) - max(x, ox))
         iy = max(0.0, min(y + h, oy + oh) - max(y, oy))
-        return float(1.0 - (ix * iy) / (w * h))
+        return float(max(0.0, 1.0 - (ix * iy) / (w * h)))
 
     def _patch_at(self, size: int, which: int = -1) -> np.ndarray:
         """Target (which=-1) or distractor patch resized to ``size`` px."""

@@ -216,6 +216,54 @@ def write_onnx_tensors(path: str, tensors: Dict[str, np.ndarray]) -> None:
 
 
 # ---------------------------------------------------------------------------
+# BatchNorm folding (real exports carry conv+BN head towers)
+# ---------------------------------------------------------------------------
+
+def fold_bn_groups(tensors: Dict[str, np.ndarray],
+                   eps: float = 1e-5) -> Dict[str, np.ndarray]:
+    """Fold ``Sequential(conv, bn, relu)`` parameter groups into plain
+    conv weight+bias tensors.
+
+    The OSTrack-family center head (the architecture behind OpenCV Zoo's
+    VitTrack, SURVEY.md §2.9) builds its towers as conv_bn_relu blocks; a
+    torch export therefore carries ``X.0.weight`` (conv, usually biasless)
+    plus ``X.1.{weight,bias,running_mean,running_var,num_batches_tracked}``
+    (BN).  This framework's head is BN-free (inference-only folding is
+    exact), so imports fold:
+
+        W' = W * gamma / sqrt(var + eps)        (per output channel)
+        b' = beta + (b - mean) * gamma / sqrt(var + eps)
+
+    Groups are detected by the ``X.1.running_mean`` + ``X.0.weight``
+    signature; everything else passes through untouched.
+    """
+    out = dict(tensors)
+    for name in list(tensors):
+        if not name.endswith(".1.running_mean"):
+            continue
+        pre = name[:-len(".1.running_mean")]
+        w_name = pre + ".0.weight"
+        if w_name not in tensors or pre + ".1.running_var" not in tensors:
+            continue
+        w = np.asarray(tensors[w_name], np.float64)
+        gamma = np.asarray(tensors.get(pre + ".1.weight",
+                                       np.ones(w.shape[0])), np.float64)
+        beta = np.asarray(tensors.get(pre + ".1.bias",
+                                      np.zeros(w.shape[0])), np.float64)
+        mean = np.asarray(tensors[name], np.float64)
+        var = np.asarray(tensors[pre + ".1.running_var"], np.float64)
+        b = np.asarray(tensors.get(w_name[:-len("weight")] + "bias",
+                                   np.zeros(w.shape[0])), np.float64)
+        scale = gamma / np.sqrt(var + eps)
+        out[w_name] = (w * scale.reshape(-1, 1, 1, 1)).astype(np.float32)
+        out[pre + ".0.bias"] = (beta + (b - mean) * scale).astype(np.float32)
+        for suffix in (".1.weight", ".1.bias", ".1.running_mean",
+                       ".1.running_var", ".1.num_batches_tracked"):
+            out.pop(pre + suffix, None)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Name mapping + layout conversion
 # ---------------------------------------------------------------------------
 
@@ -275,12 +323,33 @@ def default_name_map(like: Params) -> Dict[str, Tuple[Tuple[str, ...], Any]]:
         m[pre + "mlp.fc2.weight"] = (b + ("mlp2", "kernel"), _t)
         m[pre + "mlp.fc2.bias"] = (b + ("mlp2", "bias"), _ident)
     if "head" in like:
+        # OSTrack's CenterPredictor names its towers ctr/offset/size and
+        # builds each layer as Sequential(conv, bn, relu) -> exported
+        # names ``box_head.convK_ctr.0.weight`` (+ BN params that
+        # fold_bn_groups collapses into ``.0.weight/.0.bias``); the final
+        # layer is a plain Conv2d (``box_head.convK_ctr.weight``).  Accept
+        # both that dialect and the plain ``box_head.score.K.*`` one.
+        tower_alias = {"score": ("score", "ctr", "cls"),
+                       "offset": ("offset",), "size": ("size",)}
         for tower in ("score", "offset", "size"):
-            for j in range(len(like["head"][tower])):
-                pre = f"box_head.{tower}.{j}."
+            n_layers = len(like["head"][tower])
+            for j in range(n_layers):
                 p = ("head", tower, j)
-                m[pre + "weight"] = (p + ("kernel",), _conv)
-                m[pre + "bias"] = (p + ("bias",), _ident)
+                names = [f"box_head.{tower}.{j}."]
+                for alias in tower_alias[tower]:
+                    names.append(f"box_head.conv{j + 1}_{alias}.0.")
+                    if j == n_layers - 1:       # final plain-conv layer
+                        names.append(f"box_head.conv{j + 1}_{alias}.")
+                        names.append(f"box_head.conv{j + 2}_{alias}.")
+                for pre in names:
+                    m[pre + "weight"] = (p + ("kernel",), _conv)
+                    m[pre + "bias"] = (p + ("bias",), _ident)
+    # Prefix dialects seen in the wild: DataParallel's ``module.`` wrapper
+    # and exports whose graph drops the ``backbone.`` scoping.
+    for name in list(m):
+        m["module." + name] = m[name]
+        if name.startswith("backbone."):
+            m[name[len("backbone."):]] = m[name]
     return m
 
 
@@ -298,19 +367,23 @@ def _set_path(tree: Any, path: Tuple, value: Any) -> None:
 
 def map_tensors(tensors: Dict[str, np.ndarray], like: Params,
                 name_map: Optional[Dict[str, Tuple[Tuple, Any]]] = None,
-                strict: bool = True) -> Params:
+                strict: bool = True, fold_bn: bool = True) -> Params:
     """Place ONNX ``tensors`` into a copy of the ``like`` param tree.
 
-    Every mapped tensor is layout-converted and shape-checked against the
-    destination leaf.  With ``strict`` (default) a destination leaf left
-    unfilled, or a checkpoint tensor with no mapping, raises with the exact
-    names involved — the error message is the worksheet for building a
-    custom ``name_map`` for a differently-named export.
+    ``fold_bn`` (default) first collapses conv+BN groups via
+    :func:`fold_bn_groups`.  Every mapped tensor is layout-converted and
+    shape-checked against the destination leaf.  With ``strict`` (default)
+    a destination leaf left unfilled, or a checkpoint tensor with no
+    mapping, raises with the exact names involved — the error message is
+    the worksheet for building a custom ``name_map`` for a
+    differently-named export.
     """
     import copy
 
     import jax.numpy as jnp
 
+    if fold_bn:
+        tensors = fold_bn_groups(tensors)
     name_map = dict(default_name_map(like) if name_map is None else name_map)
     out = copy.deepcopy(like)
     filled = set()
@@ -350,7 +423,8 @@ def map_tensors(tensors: Dict[str, np.ndarray], like: Params,
     return out
 
 
-def load_onnx(path: str, like: Params,
-              name_map: Optional[Dict] = None, strict: bool = True) -> Params:
+def load_onnx(path: str, like: Params, name_map: Optional[Dict] = None,
+              strict: bool = True, fold_bn: bool = True) -> Params:
     """Read an ONNX VitTrack checkpoint and return our param pytree."""
-    return map_tensors(read_onnx_tensors(path), like, name_map, strict)
+    return map_tensors(read_onnx_tensors(path), like, name_map, strict,
+                       fold_bn)

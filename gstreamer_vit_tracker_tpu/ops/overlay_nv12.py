@@ -114,9 +114,18 @@ def draw_rect_luma_strips(y_plane: jnp.ndarray, x, y, w, h, thickness: int,
     masked pass touches ~17 MB/edge; the strips touch ~36 KB total, which
     is what keeps the per-frame HUD composite off the benchmark's critical
     path (bench --uhd).
+
+    Contract: pixel-identical to the masked variant only for rects whose
+    edges lie inside the frame — a partially off-frame rect clamps its
+    strip origin, so edge rows/columns past the border are dropped rather
+    than wrapped (the masked variant draws the clamped-edge pixels
+    instead).  Use :func:`draw_rect_luma` when exact off-frame semantics
+    matter; thickness is clamped to the plane so tiny planes still
+    compile.
     """
     H, W = y_plane.shape
-    t = thickness
+    t = max(1, min(thickness, H, W))    # static: plane smaller than the
+    # strip would fail to compile a (t, W)/(H, t) dynamic_slice
     x = jnp.asarray(x, jnp.int32)
     y = jnp.asarray(y, jnp.int32)
     w = jnp.asarray(w, jnp.int32)
@@ -157,9 +166,11 @@ def draw_crosshair_luma_strips(y_plane: jnp.ndarray, cx, cy, size: int,
     """Strip-update variant of :func:`draw_crosshair_luma`: one
     ``(2*size+1, 2*size+1)`` block update instead of a full-plane mask.
     Pixel-identical for centres inside (or near) the frame — the block
-    origin clamps so truncated arms at the borders still land inside it."""
+    origin clamps so truncated arms at the borders still land inside it.
+    The block side is clamped to the plane, so planes smaller than the
+    crosshair still compile (arms truncate to the plane)."""
     H, W = y_plane.shape
-    side = 2 * size + 1
+    side = min(2 * size + 1, H, W)
     cx = jnp.maximum(jnp.asarray(cx, jnp.int32), 0)
     cy = jnp.maximum(jnp.asarray(cy, jnp.int32), 0)
     row0 = jnp.clip(cy - size, 0, max(H - side, 0))

@@ -108,6 +108,7 @@ def init(params: Params, frame, bbox: jnp.ndarray, cfg: ModelConfig,
         bbox=jnp.copy(bbox),
         score=jnp.ones((), jnp.float32),
         frame_idx=jnp.zeros((), jnp.int32),
+        lost_frames=jnp.zeros((), jnp.int32),
     )
 
 
@@ -130,7 +131,18 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
     prep = _PREPS[frame_format]
     fh, fw = frame_shape(frame, frame_format)
 
-    window = pp.crop_window(state.bbox, cfg.search_factor)
+    # Re-detection ramp: while confidence has been below the freeze
+    # threshold the search window grows geometrically (capped), matching
+    # the physics of a target drifting away from where it vanished — an
+    # occluded target reappears OUTSIDE a fixed-size window after enough
+    # frames.  lost_frames==0 (the normal case) leaves the factor exact.
+    factor = cfg.search_factor
+    if cfg.lost_window_growth > 1.0:
+        expand = jnp.minimum(
+            cfg.lost_window_growth ** state.lost_frames.astype(jnp.float32),
+            cfg.lost_window_max_growth)
+        factor = cfg.search_factor * expand
+    window = pp.crop_window(state.bbox, factor)
     x_img = prep(frame, window, cfg.search_size, cfg)
     maps = vittrack.forward(params, state.z_tok[None], x_img[None], cfg,
                             use_pallas=use_pallas, fused=fused)
@@ -150,13 +162,22 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
     wh = jnp.clip(bbox_norm[2:4] * window.size, 1.0, lim)
     xy = jnp.clip(cxy - 0.5 * wh, 0.0, lim - wh)
     new_bbox = jnp.concatenate([xy, wh])
+    if cfg.window_freeze_threshold > 0.0:
+        # Low confidence (target hidden/lost): hold the previous bbox so
+        # the search window stays where the target vanished — decoded
+        # peaks of a noise map would walk it away and make re-acquisition
+        # impossible (config.py::window_freeze_threshold).
+        new_bbox = jnp.where(conf > cfg.window_freeze_threshold,
+                             new_bbox, state.bbox)
 
+    confident = conf > cfg.window_freeze_threshold
     new_state = TrackState(
         z_tok=state.z_tok,
         z_tok_init=state.z_tok_init,
         bbox=new_bbox,
         score=conf,
         frame_idx=state.frame_idx + 1,
+        lost_frames=jnp.where(confident, 0, state.lost_frames + 1),
     )
 
     if cfg.template_update_enabled:

@@ -40,7 +40,12 @@ def _batched_cfg(cfg: ModelConfig) -> ModelConfig:
     1.774 ms/step banded vs 0.971 ms full-width (docs/ARCHITECTURE.md).
     Banding stays on for the unbatched path, where the slice is a cheap
     contiguous copy.  For frames no larger than the band the two paths are
-    numerically identical (the band slice is then a no-op)."""
+    numerically identical (the band slice is then a no-op; test-pinned in
+    tests/test_parity.py).  When a crop window EXCEEDS the band (a huge
+    target, or the lost-ramp expansion on a large frame) they diverge:
+    the banded single-object path zero-pads the out-of-band fringe while
+    this full-width path samples the real pixels — the batched result is
+    the more accurate one."""
     if cfg.preprocess_band is None:
         return cfg
     return dataclasses.replace(cfg, preprocess_band=None)

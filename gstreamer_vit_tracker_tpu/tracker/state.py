@@ -30,6 +30,10 @@ class TrackState(NamedTuple):
     bbox: jnp.ndarray        # (4,) float32 (x, y, w, h) in frame pixels
     score: jnp.ndarray       # () float32 last confidence
     frame_idx: jnp.ndarray   # () int32 frames since init
+    # () int32 consecutive low-confidence frames; drives the re-detection
+    # search-window expansion (config.py::lost_window_growth) and resets
+    # to 0 on any confident frame.
+    lost_frames: jnp.ndarray
 
 
 def zeros_state(cfg: ModelConfig, dtype=jnp.float32) -> TrackState:
@@ -43,6 +47,7 @@ def zeros_state(cfg: ModelConfig, dtype=jnp.float32) -> TrackState:
         bbox=jnp.zeros((4,), jnp.float32),
         score=jnp.zeros((), jnp.float32),
         frame_idx=jnp.zeros((), jnp.int32),
+        lost_frames=jnp.zeros((), jnp.int32),
     )
 
 

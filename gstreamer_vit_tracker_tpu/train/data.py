@@ -62,6 +62,14 @@ _SCENE_SIZES = ((320, 256), (640, 512), (480, 384), (960, 768),
                 (320, 256), (640, 512), (480, 384), (1920, 1080))
 
 
+# Appearance diversity across the pool: the "quad" family dominates (it is
+# the eval family) but gradient/stripe/noise targets and octave backgrounds
+# break texture- and border-specific shortcuts, which transfers to unseen
+# families (the held-out eval world).
+_PATCH_STYLES = ("quad", "quad", "quad", "noise", "grad", "stripes")
+_BG_STYLES = ("smooth", "smooth", "octave")
+
+
 def _pooled_source(seed: int, obj: int) -> SyntheticSource:
     """Scene construction dominates sample cost; reuse a bounded pool of
     pre-built scenes (seeds repeat, frames/jitter still vary)."""
@@ -71,7 +79,10 @@ def _pooled_source(seed: int, obj: int) -> SyntheticSource:
     if src is None:
         if len(_SOURCE_POOL) >= _SOURCE_POOL_MAX:
             _SOURCE_POOL.clear()
-        src = SyntheticSource(w, h, obj_size=obj, seed=key[0] * 131 + obj)
+        src = SyntheticSource(
+            w, h, obj_size=obj, seed=key[0] * 131 + obj,
+            patch_style=_PATCH_STYLES[(seed // 7) % len(_PATCH_STYLES)],
+            bg_style=_BG_STYLES[(seed // 5) % len(_BG_STYLES)])
         _SOURCE_POOL[key] = src
     return src
 
@@ -86,7 +97,8 @@ def _border_position(rng: np.random.Generator, span: int, obj: int) -> float:
 
 def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
                border_frac: float = 0.4, distractor_frac: float = 0.35,
-               occlusion_frac: float = 0.3, full_occ_frac: float = 0.12
+               occlusion_frac: float = 0.3, full_occ_frac: float = 0.12,
+               redetect_frac: float = 0.15
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One (template u8, search u8, gt) training triple; gt is
     (cx, cy, w, h, visible) in search-crop-normalised coords.
@@ -176,9 +188,22 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
     # w/ceil(4w) ~= 0.25, the head learns to echo 0.25 of any window, and
     # the serve loop turns ceil()'s upward bias into a ~1 px/frame box
     # inflation that diverges within ~40 frames (observed round 2).
-    jx = cx + rng.uniform(-0.5, 0.5) * w
-    jy = cy + rng.uniform(-0.5, 0.5) * h
-    sj = float(np.exp(rng.uniform(np.log(0.7), np.log(1.4))))
+    if rng.random() < redetect_frac:
+        # Re-detection regime: the serve-time lost ramp expands the search
+        # window up to lost_window_max_growth x (tracker/core.py) with the
+        # target far off-centre (it drifted while hidden).  Train that
+        # geometry: wide window, large centre offset, small normalised
+        # size.
+        sj = float(np.exp(rng.uniform(np.log(1.4), np.log(2.8))))
+        # Offset up to +-1.4*w*sj = 70% of the way to the window edge
+        # (window half-extent is 2*w*sj), i.e. gt centre lands anywhere
+        # in [0.15, 0.85] of the crop.
+        jx = cx + rng.uniform(-1.4, 1.4) * w * sj
+        jy = cy + rng.uniform(-1.4, 1.4) * h * sj
+    else:
+        sj = float(np.exp(rng.uniform(np.log(0.7), np.log(1.4))))
+        jx = cx + rng.uniform(-0.5, 0.5) * w
+        jy = cy + rng.uniform(-0.5, 0.5) * h
     ssize = float(np.ceil(cfg.search_factor * np.sqrt(w * h) * sj))
     xim = _crop_np(frame, jx, jy, ssize, cfg.search_size)
 

@@ -107,3 +107,15 @@ def test_crosshair_strips_match_masked():
         got = np.asarray(overlay_nv12.draw_crosshair_luma_strips(
             jnp.asarray(base), cx, cy, 15, 255))
         np.testing.assert_array_equal(got, want, err_msg=str((cx, cy)))
+
+
+def test_strips_compile_on_planes_smaller_than_block():
+    """Planes smaller than the strip/crosshair block must still compile
+    (the block side clamps to the plane; ADVICE round-2)."""
+    rng = np.random.default_rng(2)
+    tiny = jnp.asarray(rng.integers(0, 256, (8, 10), dtype=np.uint8))
+    out = overlay_nv12.draw_crosshair_luma_strips(tiny, 4, 4, 15, 255)
+    assert out.shape == (8, 10)
+    assert int(np.asarray(out)[4, 0]) == 255        # truncated arm drawn
+    out2 = overlay_nv12.draw_rect_luma_strips(tiny, 1, 1, 6, 5, 12, 255)
+    assert out2.shape == (8, 10)

@@ -96,6 +96,30 @@ def test_confidence_drops_when_object_absent(corr_params):
     assert float(conf_off) < 0.25
 
 
+def test_window_freeze_below_confidence_threshold(corr_params):
+    """With confidence under window_freeze_threshold the carried bbox must
+    hold (re-acquisition window); with the threshold disabled the decoded
+    peak is followed regardless (cv2 TrackerVit's internal behaviour)."""
+    import dataclasses
+
+    src = SyntheticSource(320, 256, obj_size=48, seed=3, speed=3.0)
+    frame = jnp.asarray(src.frame_rgb(0))
+    st = core.init(corr_params, frame, jnp.asarray(src.bbox_at(0)), CORR)
+    off_box = jnp.asarray([20.0, 20.0, 48.0, 48.0])   # empty background
+    st_off = st._replace(bbox=off_box)
+    _, bbox_frozen, conf = core.update(corr_params, st_off, frame, CORR,
+                                       use_pallas=False)
+    assert float(conf) < CORR.window_freeze_threshold
+    assert np.array_equal(np.asarray(bbox_frozen), np.asarray(off_box))
+
+    nofreeze = dataclasses.replace(CORR, window_freeze_threshold=0.0)
+    st_off2 = core.init(corr_params, frame, jnp.asarray(src.bbox_at(0)),
+                        nofreeze)._replace(bbox=jnp.copy(off_box))
+    _, bbox_free, _ = core.update(corr_params, st_off2, frame, nofreeze,
+                                  use_pallas=False)
+    assert not np.array_equal(np.asarray(bbox_free), np.asarray(off_box))
+
+
 def test_nv12_frame_format(corr_params):
     src = SyntheticSource(320, 256, obj_size=48, seed=3, fmt="nv12")
     y, uv = src.frame(0)

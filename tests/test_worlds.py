@@ -45,13 +45,16 @@ def test_scale_schedule_sweeps_range_and_stays_in_frame():
 
 def test_occlusion_full_at_midpoint_clear_outside():
     src = SyntheticSource(640, 512, obj_size=64, seed=2, occlusion=(200, 41))
-    assert src.visible_frac_at(100) == 1.0
-    vis = [src.visible_frac_at(i) for i in range(41)]
+    # Windows are centred mid-period: frames [100, 141) are the first one,
+    # so the sequence start (incl. the init frame) is always clean.
+    assert all(src.visible_frac_at(i) == 1.0 for i in range(0, 100, 9))
+    assert src.visible_frac_at(160) == 1.0
+    vis = [src.visible_frac_at(i) for i in range(100, 141)]
     assert min(vis) == 0.0
     assert vis[0] > 0.95 and vis[-1] > 0.95
     # At the midpoint the rendered target area shows the occluder slab
     # (dark gray), not the bright target border.
-    i = int(np.argmin(vis))
+    i = 100 + int(np.argmin(vis))
     x, y, w, h = src.bbox_at(i)
     f = src.frame_rgb(i)
     assert f[int(y) + 2:int(y) + 6, int(x) + 2:int(x) + 6].max() < 200
