@@ -37,12 +37,21 @@ class ShardedStreamTracker:
     """
 
     def __init__(self, mesh: Mesh, params: Params, cfg: ModelConfig,
-                 frame_format: str = "rgb"):
+                 frame_format: str = "rgb", snapshot_every: int = 60):
         self.mesh = mesh
         self.cfg = cfg
         self.frame_format = frame_format
+        # Host-side copies for device-loss recovery: a dead device (or a
+        # relay reset) leaves every jax.Array here pointing at unreachable
+        # buffers; params re-upload from this copy, live TrackState from
+        # the periodic snapshot (same contract as the single-stream
+        # JaxTrackerBackend.recover, session/machine.py).
+        self._host_params = jax.device_get(params)
         self.params = replicate(params, mesh)
         self.state: TrackState | None = None
+        self.snapshot_every = snapshot_every
+        self._snapshot = None          # (host TrackState, host active)
+        self._ticks = 0
 
         @functools.partial(jax.jit, static_argnames=("cfg", "frame_format"),
                            donate_argnums=(1,))
@@ -70,12 +79,43 @@ class ShardedStreamTracker:
                 self.mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))), state)
         self.active = shard_batch(
             jnp.ones(bboxes.shape[:2], bool), self.mesh)
+        self._ticks = 0
+        # Immediate first snapshot: recovery works from tick one.
+        if self.snapshot_every:
+            self._snapshot = (jax.device_get(self.state),
+                              jax.device_get(self.active))
+
+    def _reshard_state(self, state: TrackState) -> TrackState:
+        return jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), NamedSharding(
+                self.mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))), state)
 
     def update(self, frames) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.state is None:
             raise RuntimeError("call init first")
+        self._ticks += 1
+        if self.snapshot_every and self._ticks % self.snapshot_every == 0:
+            # ~1 MB host copy per 16 bf16-template streams — negligible
+            # next to the frame feed, and it bounds recovery staleness.
+            self._snapshot = (jax.device_get(self.state),
+                              jax.device_get(self.active))
         frames = self._shard_frames(frames)
         self.state, bboxes, scores = self._step(
             self.params, self.state, frames, self.active, self.cfg,
             self.frame_format)
         return bboxes, scores
+
+    def recover(self) -> None:
+        """Rebuild device state after a device/relay fault: params
+        re-replicate from the host copy; live per-stream state restores
+        from the latest snapshot (or drops to None, requiring re-init,
+        when none was taken yet).  One call, then the next ``update`` tick
+        proceeds normally."""
+        self.params = replicate(jax.tree.map(jnp.asarray,
+                                             self._host_params), self.mesh)
+        if self._snapshot is not None:
+            state, active = self._snapshot
+            self.state = self._reshard_state(state)
+            self.active = shard_batch(jnp.asarray(active), self.mesh)
+        else:
+            self.state = None

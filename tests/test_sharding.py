@@ -69,6 +69,37 @@ def test_sharded_stream_tracker_runs():
     assert len(t.state.bbox.sharding.device_set) == 8
 
 
+def test_sharded_tracker_recovers_from_poisoned_state():
+    """VERDICT r2 weak #5: a device fault mid-run (poisoned/deleted state
+    buffers) must recover within one tick — params from the host copy,
+    live state from the periodic snapshot."""
+    m = make_mesh((8, 1))
+    params = vittrack.init_params(jax.random.PRNGKey(0), CORR)
+    t = ShardedStreamTracker(m, params, CORR, frame_format="rgb",
+                             snapshot_every=2)
+    sources = [SyntheticSource(160, 128, obj_size=32, seed=s)
+               for s in range(8)]
+    t.init(np.stack([s.frame_rgb(0) for s in sources]),
+           np.asarray([[s.bbox_at(0)] for s in sources], np.float32))
+    for i in range(1, 4):
+        boxes_ok, _ = t.update(np.stack([s.frame_rgb(i) for s in sources]))
+    boxes_ok = np.asarray(boxes_ok)
+
+    # Poison the live state (what a dead device/relay reset leaves behind).
+    jax.tree.map(lambda x: x.delete(), t.state)
+    frames4 = np.stack([s.frame_rgb(4) for s in sources])
+    with pytest.raises(Exception):
+        np.asarray(t.update(frames4)[0])
+
+    t.recover()
+    boxes, scores = t.update(frames4)   # next tick proceeds normally
+    boxes = np.asarray(boxes)
+    assert np.isfinite(boxes).all()
+    # Recovered tracks resume near where the healthy run left them
+    # (snapshot staleness <= snapshot_every ticks).
+    assert np.abs(boxes[:, 0, :2] - boxes_ok[:, 0, :2]).max() < 24.0
+
+
 @pytest.mark.slow
 def test_dp_tp_train_step_on_mesh(rng):
     """Full dp x tp = 4 x 2 sharded train step compiles and executes."""
