@@ -66,6 +66,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="stop after N frames (0 = until Quit)")
     ap.add_argument("--model", default="corr-tiny", choices=sorted(PRESETS))
     ap.add_argument("--checkpoint", default="", help="npz weights to load")
+    ap.add_argument("--objects", type=int, default=1, metavar="N",
+                    help="track N targets at once (sequential selection, "
+                         "one batched TPU update per frame, per-target "
+                         "Lost handling; exceeds the single-object "
+                         "reference deliberately)")
     ap.add_argument("--format", default="rgb", choices=["rgb", "nv12", "yuy2"],
                     dest="fmt",
                     help="frame format: rgb (active-pipeline analog), nv12 "
@@ -117,8 +122,11 @@ def _default_checkpoint(model: str) -> str:
 
 def make_source(args):
     if args.source == "synthetic":
+        # Multi-object runs get lookalike distractor patches so the extra
+        # slots have something real to latch onto (media/source.py).
         return SyntheticSource(args.width, args.height, fps=args.fps,
-                               seed=args.seed, fmt=args.fmt, speed=args.speed)
+                               seed=args.seed, fmt=args.fmt, speed=args.speed,
+                               n_distractors=max(0, args.objects - 1))
     if args.source == "file":
         if not args.input:
             sys.exit("--source file requires --input")
@@ -162,13 +170,24 @@ def main(argv=None) -> int:
         params = weights_mod.load_npz(ckpt, params)
         print(f"loaded weights: {ckpt}")
 
-    def make_backend():
-        return JaxTrackerBackend(params, mcfg, frame_format=args.fmt,
-                                 pipelined=args.pipelined)
+    multi_mode = args.objects > 1
+    if multi_mode:
+        from ..session.multi import JaxMultiTrackerBackend, MultiObjectSession
+
+        def make_backend():
+            return JaxMultiTrackerBackend(params, mcfg, args.objects,
+                                          frame_format=args.fmt)
+    else:
+        def make_backend():
+            return JaxTrackerBackend(params, mcfg, frame_format=args.fmt,
+                                     pipelined=args.pipelined)
 
     backend = make_backend()
     app_cfg = AppConfig()
-    session = TrackerSession(backend, width, height, app_cfg.session)
+    if multi_mode:
+        session = MultiObjectSession(backend, width, height, app_cfg.session)
+    else:
+        session = TrackerSession(backend, width, height, app_cfg.session)
     stats = TimingStats(app_cfg.telemetry.window)
     phases = PhaseTimer()   # map/track/draw micro-breakdown (pipeline_ir.rs:126-208)
     sinks = []
@@ -198,12 +217,34 @@ def main(argv=None) -> int:
         else:
             bbox = (width // 2 - 40, height // 2 - 40, 80, 80)
         frame0 = src.frame(0)
-        session.tracker.init(frame0, bbox)
-        b, score, ok = session.tracker.update(frame0)
-        session.current_bbox = b
-        session.current_score = score
-        session.state = "tracking"
-        print(f"headless auto-init: bbox={bbox} score={score:.3f}")
+        if multi_mode:
+            # Slot 0 on the target; the rest on the synthetic world's
+            # lookalike distractor patches (real trackable content).
+            session.tracker.init_slot(frame0, 0, bbox)
+            for k in range(1, args.objects):
+                if isinstance(src, SyntheticSource) and src._distractors:
+                    dx, dy = src._distractor_pos(k - 1, 0)
+                    bb = (dx, dy, src.obj_size, src.obj_size)
+                else:
+                    bb = (20 + 90 * k, 20, 80, 80)
+                session.tracker.init_slot(frame0, k, bb)
+            bbs, scores = session.tracker.update(frame0)
+            from ..session.multi import Slot
+
+            for k in range(args.objects):
+                if float(scores[k]) > app_cfg.session.score_threshold:
+                    session.slots[k] = Slot.TRACKING
+                    session.boxes[k] = tuple(float(v) for v in bbs[k])
+                    session.scores[k] = float(scores[k])
+            print(f"headless auto-init: {session.state_name()} scores="
+                  + ",".join(f"{float(s):.2f}" for s in scores))
+        else:
+            session.tracker.init(frame0, bbox)
+            b, score, ok = session.tracker.update(frame0)
+            session.current_bbox = b
+            session.current_score = score
+            session.state = "tracking"
+            print(f"headless auto-init: bbox={bbox} score={score:.3f}")
 
     import jax.numpy as jnp
 
@@ -298,7 +339,7 @@ def _run_frame(args, src, session, stats, phases, sink, app_cfg,
         fps=stats.fps(),
         track_ms=stats.avg_track_ms(),
         score=session.current_score,
-        is_tracking=state_name == "TRACKING",
+        is_tracking=state_name.startswith("TRACKING"),
         is_selecting=state_name.startswith("SELECT"),
         cursor=(sel.cursor_x, sel.cursor_y),
         sel_start=(sel.start_x, sel.start_y),
@@ -327,6 +368,22 @@ def _run_frame(args, src, session, stats, phases, sink, app_cfg,
 
         y_pl, _uv = frame
         out = overlay_nv12.render_hud_luma(jnp.asarray(y_pl), hud)
+    # Per-target boxes beyond the primary (multi-object mode): distinct
+    # colors on RGB, brightness steps on luma.
+    extra = (session.tracked_boxes()[1:]
+             if hasattr(session, "tracked_boxes") else [])
+    if extra:
+        colors = ((255, 80, 80), (80, 160, 255), (255, 255, 80),
+                  (255, 80, 255), (80, 255, 255))
+        from ..ops import overlay_nv12
+        for k, bb, _sc in extra:
+            x, y, w, h = (int(v) for v in bb)
+            if args.fmt == "nv12":
+                out = overlay_nv12.draw_rect_luma_strips(
+                    out, x, y, w, h, 2, 255 - 40 * (k % 4))
+            else:
+                out = overlay.draw_rect(out, x, y, w, h, 2,
+                                        colors[(k - 1) % len(colors)])
     if args.display_scale and args.fmt == "rgb":
         from ..ops import resample
 

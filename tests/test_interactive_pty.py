@@ -88,3 +88,79 @@ def test_interactive_select_and_track():
     assert "Init result: score=" in text
     assert "Done:" in text
     assert "TRACKING" in text
+
+
+@pytest.mark.slow
+def test_interactive_multi_object_select_and_track():
+    """--objects 2: the sequential selection flow arms slot after slot
+    (same two-phase key protocol), both targets then advance in one
+    batched update per frame, and the HUD state walks to TRACKING 2 OF 2.
+    Both selections land on the centre target (deterministic high score);
+    the point is the multi-slot machinery, not association."""
+    master, slave = pty.openpty()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "gstreamer_vit_tracker_tpu.app.main",
+         "--cpu", "--model", "corr-tiny", "--width", "320", "--height",
+         "256", "--speed", "0", "--frames", "3000", "--no-pace",
+         "--objects", "2"],
+        stdin=slave, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=REPO, text=False)
+    os.close(slave)
+
+    out = bytearray()
+    done = threading.Event()
+
+    def drain():
+        while True:
+            chunk = proc.stdout.read(256)
+            if not chunk:
+                break
+            out.extend(chunk)
+        done.set()
+
+    threading.Thread(target=drain, daemon=True).start()
+
+    def wait_for(needle: bytes, timeout: float) -> bool:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if needle in out:
+                return True
+            if proc.poll() is not None:
+                return needle in out
+            time.sleep(0.1)
+        return False
+
+    def key(ch: bytes, settle: float = 0.25):
+        os.write(master, ch)
+        time.sleep(settle)
+
+    def select_centre_box(obj: int):
+        key(b"t")
+        key(b"f")
+        key(b"\r")
+        assert wait_for(f"Object {obj}: start point set".encode(), 30), \
+            out.decode(errors="replace")
+        key(b"h")
+        key(b"h")
+        key(b"g")
+        key(b"g")
+        key(b"\r")
+        assert wait_for(f"TRACKING object {obj}".encode(), 60), \
+            out.decode(errors="replace")
+
+    try:
+        assert wait_for(b"KEYBOARD CONTROLS", 90), out.decode(errors="replace")
+        select_centre_box(1)
+        select_centre_box(2)
+        key(b"q")
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        os.close(master)
+        done.wait(5)
+
+    text = out.decode(errors="replace")
+    assert "TRACKING object 1" in text
+    assert "TRACKING object 2" in text
+    assert "TRACKING 2 OF 2" in text
