@@ -85,6 +85,9 @@ def main(argv=None) -> int:
 
         params = weights_mod.load_npz(ckpt, params)
         trained = True
+    # Derived 4-conv grouped head for the unbatched serving paths
+    # (batched configs auto-fall back to the tower head).
+    params = vittrack.with_grouped_head(params)
 
     h, w = 1080, 1920
     rng = np.random.default_rng(0)

@@ -384,7 +384,11 @@ def _run_frame(args, src, session, stats, phases, sink, app_cfg,
             else:
                 out = overlay.draw_rect(out, x, y, w, h, 2,
                                         colors[(k - 1) % len(colors)])
-    if args.display_scale and args.fmt == "rgb":
+    if args.display_scale:
+        # RGA-upscale analog (pipeline_ir.rs:62-73) on every format: the
+        # RGB paths scale the composited RGB; the NV12 path scales its
+        # HUD'd luma plane (the legacy pipeline also displays the NV12
+        # frame at full screen via kmssink, pipeline.rs:37-50).
         from ..ops import resample
 
         out = resample.resize_static(out, app_cfg.display.height,

@@ -99,6 +99,70 @@ def conv_head(params: Params, feat: jnp.ndarray, cfg: ModelConfig
 
 
 # ---------------------------------------------------------------------------
+# Grouped conv head (derived, serving-only)
+# ---------------------------------------------------------------------------
+# The three towers are 12 separate small convs; on TPU every extra kernel
+# launch costs ~2 us of fixed overhead that dwarfs its FLOPs at these
+# shapes (CLAUDE.md "small-op costs").  Since all towers read the SAME
+# feature map, the whole head collapses to 4 convs with derived kernels:
+# layer 0 concatenates the towers' kernels along output channels; layers
+# 1-3 use block-diagonal kernels (each tower's weights on the diagonal,
+# zeros off it), which wastes ~3x the FLOPs of the grouped ideal but
+# those FLOPs are < 0.5 GFLOP total — launch count is what matters.
+
+
+def group_head_params(head: Params) -> Params:
+    """Derive the 4-conv grouped head from the tower params (host-side,
+    once per checkpoint load — NOT inside the jitted step)."""
+    towers = [head["score"], head["offset"], head["size"]]
+    n_layers = len(towers[0])
+    out: Params = {"layers": []}
+    for j in range(n_layers):
+        ks = [np.asarray(t[j]["kernel"]) for t in towers]
+        bs = [np.asarray(t[j]["bias"]) for t in towers]
+        if j == 0:
+            kernel = np.concatenate(ks, axis=-1)
+        else:
+            kh, kw = ks[0].shape[:2]
+            cin = sum(k.shape[2] for k in ks)
+            cout = sum(k.shape[3] for k in ks)
+            kernel = np.zeros((kh, kw, cin, cout), ks[0].dtype)
+            ci = co = 0
+            for k in ks:
+                kernel[:, :, ci:ci + k.shape[2], co:co + k.shape[3]] = k
+                ci += k.shape[2]
+                co += k.shape[3]
+        out["layers"].append({"kernel": jnp.asarray(kernel),
+                              "bias": jnp.asarray(np.concatenate(bs))})
+    out["splits"] = tuple(int(t[-1]["kernel"].shape[3]) for t in towers)
+    return out
+
+
+def conv_head_grouped(gparams: Params, feat: jnp.ndarray, cfg: ModelConfig
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Same maps as :func:`conv_head` (parity test-pinned) from the
+    derived grouped kernels: 4 conv launches instead of 12."""
+    b = feat.shape[0]
+    fs = cfg.feat_size
+    x = feat.reshape(b, fs, fs, cfg.embed_dim)
+    layers = gparams["layers"]
+    for i, layer in enumerate(layers):
+        x = jax.lax.conv_general_dilated(
+            x, layer["kernel"].astype(x.dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + layer["bias"].astype(x.dtype)
+        if i < len(layers) - 1:
+            x = jax.nn.relu(x)
+    n_s, n_o, n_z = gparams["splits"]
+    x = x.astype(jnp.float32)
+    score = jax.nn.sigmoid(x[..., 0])
+    offset = jax.nn.sigmoid(x[..., n_s:n_s + n_o])
+    size = jax.nn.sigmoid(x[..., n_s + n_o:n_s + n_o + n_z])
+    return score, offset, size
+
+
+# ---------------------------------------------------------------------------
 # Correlation head (training-free)
 # ---------------------------------------------------------------------------
 

@@ -54,10 +54,31 @@ def forward(params: Params, z_tok: jnp.ndarray, x_img: jnp.ndarray,
     x_feat = vit.encode(params["backbone"], z_tok.astype(x_tok.dtype), x_tok,
                         cfg, use_pallas=use_pallas, fused=fused)
     if cfg.head_mode == "conv":
-        score, offset, size = heads_mod.conv_head(params["head"], x_feat, cfg)
+        g = params.get("head_grouped")
+        # ``fused=False`` is the physically-batched-caller signal
+        # (tracker/multi.py): there the 12 tower convs amortise their
+        # launch cost over the batch while the grouped head's
+        # block-diagonal FLOP waste scales with it — so, like the fused
+        # encoder, the derived head serves only the unbatched path.
+        if g is not None and fused is not False:
+            score, offset, size = heads_mod.conv_head_grouped(g, x_feat, cfg)
+        else:
+            score, offset, size = heads_mod.conv_head(params["head"],
+                                                      x_feat, cfg)
     else:
         score, offset, size = heads_mod.corr_head(z_tok, x_feat, cfg)
     return TrackMaps(score=score, offset=offset, size=size)
+
+
+def with_grouped_head(params: Params) -> Params:
+    """Serving-time param prep: attach the derived 4-conv grouped head
+    (models/heads.py::group_head_params).  Call once after checkpoint
+    load; training and import paths keep the tower layout."""
+    if "head" not in params or "head_grouped" in params:
+        return params
+    out = dict(params)
+    out["head_grouped"] = heads_mod.group_head_params(params["head"])
+    return out
 
 
 def count_params(params: Params) -> int:

@@ -229,10 +229,12 @@ class JaxTrackerBackend:
 
         from ..tracker import core
 
+        from ..models import vittrack
+
         self._jax = jax
         self._jnp = jnp
         self._core = core
-        self.params = params
+        self.params = vittrack.with_grouped_head(params)
         self.cfg = cfg
         self.frame_format = frame_format
         self.pipelined = pipelined
@@ -240,7 +242,7 @@ class JaxTrackerBackend:
         self.state = None
         # Host-side copy for device-loss recovery (a dead device leaves
         # self.params pointing at unreachable buffers).
-        self._host_params = jax.device_get(params)
+        self._host_params = jax.device_get(self.params)
 
     def recover(self) -> None:
         """Rebuild device state after a device/relay fault: re-upload

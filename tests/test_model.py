@@ -101,3 +101,43 @@ def test_npz_roundtrip(tiny_params, tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_grouped_head_matches_towers():
+    """The derived 4-conv grouped head (serving path) must reproduce the
+    12-conv tower head bit-for-bit in f32 and closely in bf16."""
+    import dataclasses
+
+    from gstreamer_vit_tracker_tpu.models import heads as heads_mod
+    from gstreamer_vit_tracker_tpu.models import vittrack
+
+    cfg = ModelConfig(template_size=32, search_size=64, patch_size=16,
+                      embed_dim=32, depth=1, num_heads=2, dtype="float32")
+    params = vittrack.init_params(jax.random.PRNGKey(3), cfg)
+    feat = jax.random.normal(jax.random.PRNGKey(4),
+                             (2, cfg.num_search_tokens, cfg.embed_dim))
+    want = heads_mod.conv_head(params["head"], feat, cfg)
+    g = heads_mod.group_head_params(params["head"])
+    got = heads_mod.conv_head_grouped(g, feat, cfg)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # forward() auto-selects the grouped path when attached.
+    gp = vittrack.with_grouped_head(params)
+    assert "head_grouped" in gp
+    z = jnp.zeros((1, cfg.template_size, cfg.template_size, 3))
+    x = jnp.zeros((1, cfg.search_size, cfg.search_size, 3))
+    ztok = vittrack.embed_template(gp, z, cfg)
+    m1 = vittrack.forward(gp, ztok, x, cfg, use_pallas=False, fused=False)
+    m2 = vittrack.forward(params, ztok, x, cfg, use_pallas=False,
+                          fused=False)
+    np.testing.assert_allclose(np.asarray(m1.score), np.asarray(m2.score),
+                               rtol=1e-5, atol=1e-5)
+
+    cfg16 = dataclasses.replace(cfg, dtype="bfloat16")
+    feat16 = feat.astype(jnp.bfloat16)
+    w16 = heads_mod.conv_head(params["head"], feat16, cfg16)
+    g16 = heads_mod.conv_head_grouped(g, feat16, cfg16)
+    np.testing.assert_allclose(np.asarray(w16[0]), np.asarray(g16[0]),
+                               rtol=1e-2, atol=1e-2)
