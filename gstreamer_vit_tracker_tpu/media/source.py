@@ -417,8 +417,16 @@ class HeldoutSource:
         grad = c0[None, None] * (1 - r[..., None]) + c1[None, None] * r[..., None]
         self._mask = inside
         self._poly = np.clip(grad, 0, 255).astype(np.uint8)
+        # Ground truth is the polygon's TIGHT bounding box (a tracker that
+        # boxes the visible shape must not be scored against the padded
+        # patch square it cannot see).
+        mys, mxs = np.where(inside)
+        self._mask_box = (int(mxs.min()), int(mys.min()),
+                          int(mxs.max() - mxs.min() + 1),
+                          int(mys.max() - mys.min() + 1))
 
-    def bbox_at(self, i: int) -> Tuple[float, float, float, float]:
+    def _origin_at(self, i: int) -> Tuple[int, int]:
+        """Top-left of the patch square at frame ``i`` (render anchor)."""
         s = self.obj_size
         ax = (self.width - s - 20) / 2
         ay = (self.height - s - 20) / 2
@@ -426,14 +434,20 @@ class HeldoutSource:
         # Different path frequencies from the training family.
         cx = self.width / 2 + ax * np.sin(0.85 * t + 0.4)
         cy = self.height / 2 + ay * np.sin(1.15 * t + 2.2)
-        return (float(cx - s / 2), float(cy - s / 2), float(s), float(s))
+        xi = max(0, min(self.width - s, int(round(cx - s / 2))))
+        yi = max(0, min(self.height - s, int(round(cy - s / 2))))
+        return xi, yi
+
+    def bbox_at(self, i: int) -> Tuple[float, float, float, float]:
+        xi, yi = self._origin_at(i)
+        mx, my, mw, mh = self._mask_box
+        return (float(xi + mx), float(yi + my), float(mw), float(mh))
 
     def frame_rgb(self, i: int) -> np.ndarray:
         img = self.background.copy()
-        x, y, w, h = self.bbox_at(i)
-        xi = max(0, min(self.width - int(w), int(round(x))))
-        yi = max(0, min(self.height - int(h), int(round(y))))
-        region = img[yi:yi + int(h), xi:xi + int(w)]
+        xi, yi = self._origin_at(i)
+        s = self.obj_size
+        region = img[yi:yi + s, xi:xi + s]
         region[self._mask] = self._poly[self._mask]
         return img
 

@@ -194,7 +194,7 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
         # target far off-centre (it drifted while hidden).  Train that
         # geometry: wide window, large centre offset, small normalised
         # size.
-        sj = float(np.exp(rng.uniform(np.log(1.4), np.log(2.8))))
+        sj = float(np.exp(rng.uniform(np.log(1.4), np.log(3.6))))
         # Offset up to +-1.4*w*sj = 70% of the way to the window edge
         # (window half-extent is 2*w*sj), i.e. gt centre lands anywhere
         # in [0.15, 0.85] of the crop.
