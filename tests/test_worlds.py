@@ -103,3 +103,34 @@ def test_nv12_yuy2_formats_compose_with_worlds():
             assert y.shape == (32, 64) and uv.shape == (16, 32, 2)
         else:
             assert f.shape == (32, 128)
+
+
+def test_eval_scenario_runner_wiring():
+    """The scenario eval CLI runs end to end on CPU (corr-tiny, tiny
+    frames) for every scenario, including the summarize metrics."""
+    import sys
+    sys.path.insert(0, ".")
+    from scripts import eval_tracking
+
+    rc = eval_tracking.main([
+        "--preset", "corr-tiny", "--scenario", "all", "--seqs", "1",
+        "--frames", "12", "--width", "160", "--height", "128"])
+    assert rc == 0
+
+
+def test_eval_summarize_metrics():
+    import sys
+    sys.path.insert(0, ".")
+    from scripts.eval_tracking import summarize
+
+    rows = np.asarray(
+        # iou, conf, visible
+        [[0.9, 0.9, 1.0]] * 10
+        + [[0.0, 0.1, 0.0]] * 5          # hidden stretch
+        + [[0.2, 0.2, 1.0]] * 6          # settle (skipped by reacquire)
+        + [[0.8, 0.9, 1.0]] * 14)        # re-acquired
+    s = summarize("occlusion", rows, 0.25)
+    assert s["hidden_conf_max"] == 0.1
+    assert s["hidden_below_thr_frac"] == 1.0
+    assert 0.7 < s["reacquire_iou"] <= 0.8
+    assert s["lost_frames"] == 6
