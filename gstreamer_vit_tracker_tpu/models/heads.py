@@ -134,7 +134,11 @@ def group_head_params(head: Params) -> Params:
                 co += k.shape[3]
         out["layers"].append({"kernel": jnp.asarray(kernel),
                               "bias": jnp.asarray(np.concatenate(bs))})
-    out["splits"] = tuple(int(t[-1]["kernel"].shape[3]) for t in towers)
+    # Final-layer output widths are the head contract (score 1, offset 2,
+    # size 2) and are HARDCODED in conv_head_grouped — ints stored in the
+    # params pytree would become tracers under jit and break slicing.
+    splits = tuple(int(t[-1]["kernel"].shape[3]) for t in towers)
+    assert splits == (1, 2, 2), splits
     return out
 
 
@@ -154,11 +158,10 @@ def conv_head_grouped(gparams: Params, feat: jnp.ndarray, cfg: ModelConfig
         ) + layer["bias"].astype(x.dtype)
         if i < len(layers) - 1:
             x = jax.nn.relu(x)
-    n_s, n_o, n_z = gparams["splits"]
     x = x.astype(jnp.float32)
-    score = jax.nn.sigmoid(x[..., 0])
-    offset = jax.nn.sigmoid(x[..., n_s:n_s + n_o])
-    size = jax.nn.sigmoid(x[..., n_s + n_o:n_s + n_o + n_z])
+    score = jax.nn.sigmoid(x[..., 0])           # splits fixed (1, 2, 2) —
+    offset = jax.nn.sigmoid(x[..., 1:3])        # asserted at group time
+    size = jax.nn.sigmoid(x[..., 3:5])
     return score, offset, size
 
 

@@ -141,3 +141,22 @@ def test_grouped_head_matches_towers():
     g16 = heads_mod.conv_head_grouped(g, feat16, cfg16)
     np.testing.assert_allclose(np.asarray(w16[0]), np.asarray(g16[0]),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_grouped_head_under_jit_and_scan():
+    """The grouped head must work INSIDE jit/scan: every entry in the
+    derived params dict is an array pytree leaf (ints there would become
+    tracers and break static slicing — caught on TPU round 3)."""
+    from gstreamer_vit_tracker_tpu.models import vittrack
+    from gstreamer_vit_tracker_tpu.tracker import core
+
+    cfg = ModelConfig(template_size=32, search_size=64, patch_size=16,
+                      embed_dim=32, depth=1, num_heads=2, dtype="float32")
+    params = vittrack.with_grouped_head(
+        vittrack.init_params(jax.random.PRNGKey(3), cfg))
+    for leaf in jax.tree.leaves(params):
+        assert hasattr(leaf, "shape"), f"non-array leaf {leaf!r}"
+    frame = jnp.zeros((64, 96, 3), jnp.uint8)
+    st = core.init(params, frame, jnp.asarray([20.0, 20.0, 24.0, 24.0]), cfg)
+    st2, packed = core.update_packed_jit(params, st, frame, cfg, "rgb")
+    assert np.isfinite(np.asarray(packed)).all()
