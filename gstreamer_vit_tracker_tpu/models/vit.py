@@ -137,6 +137,29 @@ def embed_search(params: Params, x_img: jnp.ndarray, cfg: ModelConfig) -> jnp.nd
     return tok + params["pos_embed_x"].astype(tok.dtype)
 
 
+def embed_search_patches(params: Params, patches: jnp.ndarray,
+                         cfg: ModelConfig) -> jnp.ndarray:
+    """Patch-embed pre-patchified search pixels: (p, N, p*3) -> (N, D).
+
+    Companion to ``ops.preprocess.*(..., patch_major=p)``: the preprocess
+    emits pixels already grouped per patch ROW (no relayout), and the embed
+    contracts them with the kernel viewed as (p, p*3, D) — a p-batched
+    matmul accumulated over p in f32.  Semantically identical to
+    :func:`patch_embed` (token t's feature is the same weighted sum; only
+    the f32 accumulation order differs), but the 6-D transpose whose HBM
+    relayout dominated the embed stage never happens.
+    """
+    dt = _cdtype(cfg)
+    p = cfg.patch_size
+    pe = params["patch_embed"]
+    w3 = pe["kernel"].astype(dt).reshape(p, p * 3, -1)
+    tok = jax.lax.dot_general(patches.astype(dt), w3,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    tok = tok.sum(axis=0) + pe["bias"].astype(jnp.float32)
+    return tok.astype(dt) + params["pos_embed_x"].astype(dt)
+
+
 def encode(params: Params, z_tok: jnp.ndarray, x_tok: jnp.ndarray,
            cfg: ModelConfig, use_pallas: bool | None = None,
            fused: bool | None = None) -> jnp.ndarray:

@@ -51,6 +51,21 @@ def forward(params: Params, z_tok: jnp.ndarray, x_img: jnp.ndarray,
     x_img: (B, Hx, Wx, 3) normalised search crop.
     """
     x_tok = vit.embed_search(params["backbone"], x_img, cfg)
+    return forward_tokens(params, z_tok, x_tok, cfg, use_pallas=use_pallas,
+                          fused=fused)
+
+
+def embed_search_patches(params: Params, patches: jnp.ndarray,
+                         cfg: ModelConfig) -> jnp.ndarray:
+    """(p, N, p*3) patch-major search pixels -> (N, D) embedded tokens
+    (vit.py::embed_search_patches; pairs with preprocess ``patch_major``)."""
+    return vit.embed_search_patches(params["backbone"], patches, cfg)
+
+
+def forward_tokens(params: Params, z_tok: jnp.ndarray, x_tok: jnp.ndarray,
+                   cfg: ModelConfig, use_pallas: bool | None = None,
+                   fused: bool | None = None) -> TrackMaps:
+    """Forward from already-embedded search tokens (B, Nx, D)."""
     x_feat = vit.encode(params["backbone"], z_tok.astype(x_tok.dtype), x_tok,
                         cfg, use_pallas=use_pallas, fused=fused)
     if cfg.head_mode == "conv":

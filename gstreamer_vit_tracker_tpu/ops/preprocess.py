@@ -38,6 +38,37 @@ __all__ = ["CropWindow", "crop_window", "preprocess_rgb", "preprocess_nv12",
            "preprocess_yuy2", "normalize"]
 
 
+# ---------------------------------------------------------------------------
+# Patch-major output (fused preprocess + patch-embed, zero data relayout)
+# ---------------------------------------------------------------------------
+# Feeding a ViT patch embed from a (S, S, 3) crop needs the pixels grouped
+# as (gh, gw, p, q, c) — a 6-D transpose whose HBM relayout dominated the
+# embed stage (~0.015 ms of a ~0.09 ms step; docs/ARCHITECTURE.md).  But the
+# crop's ROW order is ours to choose: permuting the *sampling matrix* rows
+# to patch-major order r = p*g + gh (free — the matrix is generated from
+# iota at trace time, XLA folds the permutation into the generation) makes
+# the resample matmuls emit the crop as (p, gh, x, c), which reshapes — all
+# groupings contiguous, no relayout — to (p, (gh, gw), (q, c)).  The patch
+# embed then runs as a p-batched matmul summed over p (models/vit.py::
+# embed_search_patches) instead of transpose + one big matmul.
+
+
+def _patch_row_perm(m: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """Permute a (out, src) sampling matrix's output rows from raster order
+    y = gh*patch + p to patch-major order r = p*(out//patch) + gh."""
+    out, src = m.shape
+    g = out // patch
+    return m.reshape(g, patch, src).transpose(1, 0, 2).reshape(out, src)
+
+
+def _to_patches(crop: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(out, out, 3) crop whose rows are patch-major -> (patch, N, patch*3)
+    patch pixels, via a single contiguous reshape."""
+    out = crop.shape[1]
+    g = out // patch
+    return crop.reshape(patch, g * g, patch * 3)
+
+
 class CropWindow(NamedTuple):
     """Square sampling window in source-frame pixels."""
 
@@ -93,10 +124,16 @@ def band_origin(window: CropWindow, frame_h: int, frame_w: int,
 def preprocess_rgb(rgb: jnp.ndarray, window: CropWindow, out_size: int,
                    mean: Sequence[float], std: Sequence[float],
                    dtype=jnp.float32,
-                   band: Optional[int] = None) -> jnp.ndarray:
+                   band: Optional[int] = None,
+                   patch_major: Optional[int] = None) -> jnp.ndarray:
     """Crop ``window`` from an (H, W, 3) uint8 RGB frame, resize to
     ``out_size`` square, scale to [0,1] and normalise.  Returns float
-    (out_size, out_size, 3)."""
+    (out_size, out_size, 3).
+
+    ``patch_major=p`` instead returns (p, (out//p)^2, p*3) patch pixels in
+    ViT patch-embed order (see the patch-major note above) — numerically
+    identical values, rows produced pre-permuted so no relayout is needed.
+    """
     h, w = rgb.shape[0], rgb.shape[1]
     start_y = window.cy - 0.5 * window.size
     start_x = window.cx - 0.5 * window.size
@@ -109,18 +146,22 @@ def preprocess_rgb(rgb: jnp.ndarray, window: CropWindow, out_size: int,
         h, w = bh, bw
     scale = window.size / out_size
     ry = sampling_matrix(out_size, h, start_y, scale, dtype)
+    if patch_major is not None:
+        ry = _patch_row_perm(ry, patch_major)
     cx = sampling_matrix(out_size, w, start_x, scale, dtype)
     imgf = rgb.astype(dtype)
     tmp = jnp.einsum("oh,hwc->owc", ry, imgf, preferred_element_type=dtype)
     crop = jnp.einsum("pw,owc->opc", cx, tmp, preferred_element_type=dtype)
-    return normalize(crop / 255.0, mean, std)
+    crop = normalize(crop / 255.0, mean, std)
+    return _to_patches(crop, patch_major) if patch_major is not None else crop
 
 
 def preprocess_nv12(y_plane: jnp.ndarray, uv_plane: jnp.ndarray,
                     window: CropWindow, out_size: int,
                     mean: Sequence[float], std: Sequence[float],
                     dtype=jnp.float32,
-                    band: Optional[int] = None) -> jnp.ndarray:
+                    band: Optional[int] = None,
+                    patch_major: Optional[int] = None) -> jnp.ndarray:
     """Fused NV12 -> normalised RGB model crop.
 
     ``y_plane``: (H, W) uint8;  ``uv_plane``: (H//2, W//2, 2) uint8 with
@@ -150,6 +191,8 @@ def preprocess_nv12(y_plane: jnp.ndarray, uv_plane: jnp.ndarray,
 
     scale = window.size / out_size
     ry = sampling_matrix(out_size, h, start_y, scale, dtype)
+    if patch_major is not None:
+        ry = _patch_row_perm(ry, patch_major)
     cxm = sampling_matrix(out_size, w, start_x, scale, dtype)
     ry_uv = fold_half_res(ry)
     cx_uv = fold_half_res(cxm)
@@ -160,13 +203,15 @@ def preprocess_nv12(y_plane: jnp.ndarray, uv_plane: jnp.ndarray,
 
     rgb = rgb_from_shifted_yuv_f32(yc, uc, vc)
     rgb = jnp.clip(rgb, 0.0, 255.0)
-    return normalize(rgb / 255.0, mean, std)
+    rgb = normalize(rgb / 255.0, mean, std)
+    return _to_patches(rgb, patch_major) if patch_major is not None else rgb
 
 
 def preprocess_yuy2(yuy2: jnp.ndarray, window: CropWindow, out_size: int,
                     mean: Sequence[float], std: Sequence[float],
                     dtype=jnp.float32,
-                    band: Optional[int] = None) -> jnp.ndarray:
+                    band: Optional[int] = None,
+                    patch_major: Optional[int] = None) -> jnp.ndarray:
     """Fused YUY2 -> normalised RGB model crop.
 
     YUY2 is the active reference camera format (4:2:2 packed, two pixels
@@ -198,6 +243,8 @@ def preprocess_yuy2(yuy2: jnp.ndarray, window: CropWindow, out_size: int,
 
     scale = window.size / out_size
     ry = sampling_matrix(out_size, height, start_y, scale, dtype)
+    if patch_major is not None:
+        ry = _patch_row_perm(ry, patch_major)
     cxm = sampling_matrix(out_size, width, start_x, scale, dtype)
     cx_uv = fold_half_res(cxm)
 
@@ -207,4 +254,5 @@ def preprocess_yuy2(yuy2: jnp.ndarray, window: CropWindow, out_size: int,
 
     rgb = rgb_from_shifted_yuv_f32(yc, uc, vc)
     rgb = jnp.clip(rgb, 0.0, 255.0)
-    return normalize(rgb / 255.0, mean, std)
+    rgb = normalize(rgb / 255.0, mean, std)
+    return _to_patches(rgb, patch_major) if patch_major is not None else rgb

@@ -47,25 +47,31 @@ def _prep_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
-def _prep_rgb(frame, window, out_size: int, cfg: ModelConfig):
+def _prep_rgb(frame, window, out_size: int, cfg: ModelConfig,
+              patch_major=None):
     return pp.preprocess_rgb(frame, window, out_size, cfg.norm_mean,
                              cfg.norm_std, dtype=_prep_dtype(cfg),
-                             band=cfg.preprocess_band)
+                             band=cfg.preprocess_band,
+                             patch_major=patch_major)
 
 
-def _prep_nv12(frame, window, out_size: int, cfg: ModelConfig):
+def _prep_nv12(frame, window, out_size: int, cfg: ModelConfig,
+               patch_major=None):
     y_plane, uv_plane = frame
     return pp.preprocess_nv12(y_plane, uv_plane, window, out_size,
                               cfg.norm_mean, cfg.norm_std,
                               dtype=_prep_dtype(cfg),
-                              band=cfg.preprocess_band)
+                              band=cfg.preprocess_band,
+                              patch_major=patch_major)
 
 
-def _prep_yuy2(frame, window, out_size: int, cfg: ModelConfig):
+def _prep_yuy2(frame, window, out_size: int, cfg: ModelConfig,
+               patch_major=None):
     # frame: (H, W*2) packed YUY2 rows.
     return pp.preprocess_yuy2(frame, window, out_size, cfg.norm_mean,
                               cfg.norm_std, dtype=_prep_dtype(cfg),
-                              band=cfg.preprocess_band)
+                              band=cfg.preprocess_band,
+                              patch_major=patch_major)
 
 
 _PREPS: Dict[str, Callable] = {"rgb": _prep_rgb, "nv12": _prep_nv12,
@@ -143,9 +149,21 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
             cfg.lost_window_max_growth)
         factor = cfg.search_factor * expand
     window = pp.crop_window(state.bbox, factor)
-    x_img = prep(frame, window, cfg.search_size, cfg)
-    maps = vittrack.forward(params, state.z_tok[None], x_img[None], cfg,
-                            use_pallas=use_pallas, fused=fused)
+    if fused is not False:
+        # Single-stream serving: patch-major preprocess + relayout-free
+        # embed (models/vit.py::embed_search_patches).  Batched callers
+        # (fused=False, tracker/multi.py) keep the crop + transposing embed
+        # — there the relayout amortises over the batch while the p-batched
+        # small matmuls would not.
+        patches = prep(frame, window, cfg.search_size, cfg,
+                       patch_major=cfg.patch_size)
+        x_tok = vittrack.embed_search_patches(params, patches, cfg)[None]
+        maps = vittrack.forward_tokens(params, state.z_tok[None], x_tok, cfg,
+                                       use_pallas=use_pallas, fused=fused)
+    else:
+        x_img = prep(frame, window, cfg.search_size, cfg)
+        maps = vittrack.forward(params, state.z_tok[None], x_img[None], cfg,
+                                use_pallas=use_pallas, fused=fused)
 
     hann = heads_mod.hanning_2d(cfg.feat_size, cfg.hann_mode)
     prev_size_norm = state.bbox[2:4] / window.size
