@@ -142,22 +142,27 @@ def embed_search_patches(params: Params, patches: jnp.ndarray,
     """Patch-embed pre-patchified search pixels: (p, N, p*3) -> (N, D).
 
     Companion to ``ops.preprocess.*(..., patch_major=p)``: the preprocess
-    emits pixels already grouped per patch ROW (no relayout), and the embed
-    contracts them with the kernel viewed as (p, p*3, D) — a p-batched
-    matmul accumulated over p in f32.  Semantically identical to
-    :func:`patch_embed` (token t's feature is the same weighted sum; only
-    the f32 accumulation order differs), but the 6-D transpose whose HBM
-    relayout dominated the embed stage never happens.
+    emits pixels already grouped per patch ROW (the 6-D patchify transpose
+    of :func:`patch_embed` collapses to one major-axis swap with the
+    (q, c)=p*3 minor dim kept contiguous).  The contraction is then the
+    SAME (N, p*p*3) @ (p*p*3, D) matmul as :func:`patch_embed` —
+    bit-identical tokens, cheaper relayout.
+
+    MEASURED SLOWER than :func:`embed_search` end to end on v5e (embed
+    ~0.044 vs ~0.016 ms; preprocess itself identical): XLA folds the 6-D
+    patchify transpose into the matmul operand layout, while this path's
+    explicit (p, N, k) -> (N, p, k) swap materialises.  A p-batched
+    ``dot_general`` variant (no transpose at all) was worse still —
+    sixteen K=48 matmuls underfill the MXU.  Kept as the natural input
+    layout for a future hand-fused Pallas preprocess+embed kernel; NOT
+    the serving default.  Don't revisit without new data.
     """
     dt = _cdtype(cfg)
-    p = cfg.patch_size
+    p, n = patches.shape[0], patches.shape[1]
     pe = params["patch_embed"]
-    w3 = pe["kernel"].astype(dt).reshape(p, p * 3, -1)
-    tok = jax.lax.dot_general(patches.astype(dt), w3,
-                              (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-    tok = tok.sum(axis=0) + pe["bias"].astype(jnp.float32)
-    return tok.astype(dt) + params["pos_embed_x"].astype(dt)
+    x = patches.astype(dt).transpose(1, 0, 2).reshape(n, p * patches.shape[2])
+    tok = x @ pe["kernel"].astype(dt) + pe["bias"].astype(dt)
+    return tok + params["pos_embed_x"].astype(tok.dtype)
 
 
 def encode(params: Params, z_tok: jnp.ndarray, x_tok: jnp.ndarray,

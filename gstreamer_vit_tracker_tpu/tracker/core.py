@@ -121,7 +121,8 @@ def init(params: Params, frame, bbox: jnp.ndarray, cfg: ModelConfig,
 def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
            frame_format: str = "rgb",
            use_pallas: bool | None = None,
-           fused: bool | None = None) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+           fused: bool | None = None,
+           fused_embed: bool = False) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """Track one frame.  Returns (new_state, bbox_xywh, confidence).
 
     Mirrors ``tracker.update(full_image) -> TrackResult{bbox, score,
@@ -133,6 +134,12 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
     batched callers (tracker/multi.py) pass False — under their vmap the
     traced batch is 1 but the physical batch is the stream/object count,
     where the fused per-sample grid loses to XLA's batched GEMMs.
+
+    ``fused_embed`` routes preprocessing through the patch-major crop +
+    relayout-free embed (models/vit.py::embed_search_patches).  Opt-in:
+    the first formulation (p-batched dot) measured SLOWER than the plain
+    path (prep+embed 0.070 vs 0.040 ms); the current flat-contraction
+    variant is unproven until a healthy-window A/B says otherwise.
     """
     prep = _PREPS[frame_format]
     fh, fw = frame_shape(frame, frame_format)
@@ -149,12 +156,7 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
             cfg.lost_window_max_growth)
         factor = cfg.search_factor * expand
     window = pp.crop_window(state.bbox, factor)
-    if fused is not False:
-        # Single-stream serving: patch-major preprocess + relayout-free
-        # embed (models/vit.py::embed_search_patches).  Batched callers
-        # (fused=False, tracker/multi.py) keep the crop + transposing embed
-        # — there the relayout amortises over the batch while the p-batched
-        # small matmuls would not.
+    if fused_embed:
         patches = prep(frame, window, cfg.search_size, cfg,
                        patch_major=cfg.patch_size)
         x_tok = vittrack.embed_search_patches(params, patches, cfg)[None]

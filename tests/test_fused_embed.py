@@ -114,7 +114,8 @@ def test_update_fused_embed_tracks_like_unfused():
     st_b = core.init(params, frame0, bb0, CFG)
 
     up_fused = jax.jit(lambda p, s, f: core.update(p, s, f, CFG,
-                                                   use_pallas=False))
+                                                   use_pallas=False,
+                                                   fused_embed=True))
     up_plain = jax.jit(lambda p, s, f: core.update(p, s, f, CFG,
                                                    use_pallas=False,
                                                    fused=False))
