@@ -120,10 +120,12 @@ class SyntheticSource:
                  scale_period: int = 300,
                  occlusion: Optional[Tuple[int, int]] = None,
                  n_distractors: int = 0,
-                 patch_style: str = "quad", bg_style: str = "smooth"):
+                 patch_style: str = "quad", bg_style: str = "smooth",
+                 mask_style: str = "none", edge_fade: float = 0.0):
         assert fmt in ("rgb", "nv12", "yuy2")
         assert patch_style in ("quad", "noise", "grad", "stripes")
         assert bg_style in ("smooth", "octave")
+        assert mask_style in ("none", "ellipse", "diamond")
         # appearance_drift > 0 darkens the target over time (tests the
         # online template update, BASELINE.json config 3).
         self.appearance_drift = appearance_drift
@@ -203,6 +205,22 @@ class SyntheticSource:
         self._occ_tex = np.clip(
             _bilinear_resize_f32(occ, 64) + rng.normal(0, 6, (64, 64, 3)),
             0, 255).astype(np.uint8)
+        # Non-rectangular silhouettes + soft edges (training-time shape
+        # diversity): "ellipse"/"diamond" alpha-mask the target so the gt
+        # box contains visible background, and ``edge_fade`` ramps the
+        # alpha to 0 over the outer fraction of the silhouette — real
+        # targets are rarely axis-aligned rects with hard edges, and a
+        # model trained only on those under-boxes soft-edged shapes (the
+        # held-out eval's observed failure mode).  Constructions are
+        # deliberately distinct from HeldoutSource's convex-gradient
+        # polygons (that family stays eval-only).  Defaults draw nothing
+        # from ``rng`` — default scenes stay bit-identical across rounds.
+        self.mask_style, self.edge_fade = mask_style, float(edge_fade)
+        if mask_style != "none":
+            self._ax_frac = float(rng.uniform(0.85, 1.0))
+            self._ay_frac = float(rng.uniform(0.85, 1.0))
+        else:
+            self._ax_frac = self._ay_frac = 1.0
 
     def scale_at(self, i: int) -> float:
         """Target render scale at frame ``i`` (1.0 without a schedule).
@@ -279,13 +297,54 @@ class SyntheticSource:
             self._patch_cache[key] = cached
         return cached
 
-    def _paste(self, img: np.ndarray, patch: np.ndarray, x: int, y: int):
-        """Paste ``patch`` at top-left (x, y), cropped to the frame."""
+    def _alpha_at(self, size: int) -> Optional[np.ndarray]:
+        """Target alpha mask at ``size`` px (None = opaque rectangle).
+        Binary silhouette for ellipse/diamond; ``edge_fade`` f ramps alpha
+        1 -> 0 over the outer f fraction of the silhouette radius."""
+        if self.mask_style == "none" and self.edge_fade <= 0.0:
+            return None
+        key = ("alpha", size)
+        a = self._patch_cache.get(key)
+        if a is None:
+            c = (size - 1) / 2.0
+            yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+            dx, dy = xx - c, yy - c
+            ax = max(self._ax_frac * size / 2.0, 1.0)
+            ay = max(self._ay_frac * size / 2.0, 1.0)
+            if self.mask_style == "ellipse":
+                r = np.sqrt((dx / ax) ** 2 + (dy / ay) ** 2)
+            elif self.mask_style == "diamond":
+                r = np.abs(dx) / ax + np.abs(dy) / ay
+            else:   # rectangular extent, fade toward the box edges
+                r = np.maximum(np.abs(dx), np.abs(dy)) / (size / 2.0)
+            if self.edge_fade > 0.0:
+                a = np.clip((1.0 - r) / self.edge_fade, 0.0, 1.0
+                            ).astype(np.float32)
+            else:
+                a = (r <= 1.0).astype(np.float32)
+            if len(self._patch_cache) > 64:
+                self._patch_cache.clear()
+            self._patch_cache[key] = a
+        return a
+
+    def _paste(self, img: np.ndarray, patch: np.ndarray, x: int, y: int,
+               alpha: Optional[np.ndarray] = None):
+        """Paste ``patch`` at top-left (x, y), cropped to the frame;
+        ``alpha`` (HxW float in [0,1]) blends it over the scene."""
         ph, pw = patch.shape[:2]
         x0, y0 = max(0, x), max(0, y)
         x1, y1 = min(self.width, x + pw), min(self.height, y + ph)
-        if x1 > x0 and y1 > y0:
-            img[y0:y1, x0:x1] = patch[y0 - y:y1 - y, x0 - x:x1 - x]
+        if x1 <= x0 or y1 <= y0:
+            return
+        ps = patch[y0 - y:y1 - y, x0 - x:x1 - x]
+        if alpha is None:
+            img[y0:y1, x0:x1] = ps
+        else:
+            al = alpha[y0 - y:y1 - y, x0 - x:x1 - x][..., None]
+            reg = img[y0:y1, x0:x1].astype(np.float32)
+            img[y0:y1, x0:x1] = np.clip(
+                np.round(al * ps.astype(np.float32) + (1.0 - al) * reg),
+                0, 255).astype(np.uint8)
 
     def frame_rgb_at(self, x: float, y: float, i: int = 0,
                      scale: float = 1.0
@@ -304,7 +363,11 @@ class SyntheticSource:
         if self.appearance_drift:
             fade = max(0.25, 1.0 - self.appearance_drift * i)
             patch = (patch.astype(np.float32) * fade).astype(np.uint8)
-        img[yi:yi + h, xi:xi + w] = patch
+        alpha = self._alpha_at(w)
+        if alpha is None:
+            img[yi:yi + h, xi:xi + w] = patch
+        else:
+            self._paste(img, patch, xi, yi, alpha)
         return img, (float(xi), float(yi), float(w), float(h))
 
     def _distractor_pos(self, j: int, i: int) -> Tuple[int, int]:
@@ -330,7 +393,8 @@ class SyntheticSource:
         if self.appearance_drift:
             fade = max(0.25, 1.0 - self.appearance_drift * i)
             patch = (patch.astype(np.float32) * fade).astype(np.uint8)
-        self._paste(img, patch, int(round(x)), int(round(y)))
+        self._paste(img, patch, int(round(x)), int(round(y)),
+                    self._alpha_at(int(w)))
         occ = self.occluder_rect_at(i)                # over the target
         if occ is not None:
             ox, oy, ow, oh = occ

@@ -68,13 +68,23 @@ _SCENE_SIZES = ((320, 256), (640, 512), (480, 384), (960, 768),
 # families (the held-out eval world).
 _PATCH_STYLES = ("quad", "quad", "quad", "noise", "grad", "stripes")
 _BG_STYLES = ("smooth", "smooth", "octave")
+# Silhouette diversity (round-3 heldout work): non-rectangular targets
+# (alpha-masked ellipse/diamond, gt box unchanged) and soft edges (alpha
+# ramp over the outer 20-40% of the silhouette).  Trains "box the full
+# extent even when the boundary fades into the background" — the observed
+# heldout failure mode (soft-edged polygons boxed tighter than gt).
+# Rect targets stay the majority; fades apply to every mask style.
+_MASK_STYLES = ("none", "none", "none", "ellipse", "diamond")
+_EDGE_FADES = (0.0, 0.0, 0.2, 0.4)
 
 
 def _pooled_source(seed: int, obj: int) -> SyntheticSource:
     """Scene construction dominates sample cost; reuse a bounded pool of
     pre-built scenes (seeds repeat, frames/jitter still vary)."""
     w, h = _SCENE_SIZES[seed % len(_SCENE_SIZES)]
-    key = (seed % 16, (obj // 8) * 8, w)
+    mi = (seed // 11) % len(_MASK_STYLES)
+    fi = (seed // 13) % len(_EDGE_FADES)
+    key = (seed % 16, (obj // 8) * 8, w, mi, fi)
     src = _SOURCE_POOL.get(key)
     if src is None:
         if len(_SOURCE_POOL) >= _SOURCE_POOL_MAX:
@@ -82,7 +92,8 @@ def _pooled_source(seed: int, obj: int) -> SyntheticSource:
         src = SyntheticSource(
             w, h, obj_size=obj, seed=key[0] * 131 + obj,
             patch_style=_PATCH_STYLES[(seed // 7) % len(_PATCH_STYLES)],
-            bg_style=_BG_STYLES[(seed // 5) % len(_BG_STYLES)])
+            bg_style=_BG_STYLES[(seed // 5) % len(_BG_STYLES)],
+            mask_style=_MASK_STYLES[mi], edge_fade=_EDGE_FADES[fi])
         _SOURCE_POOL[key] = src
     return src
 
@@ -160,7 +171,8 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
         rad = rng.uniform(0.9, 2.2) * w
         dx = int(round(cx + rad * np.cos(ang) - dsize / 2))
         dy = int(round(cy + rad * np.sin(ang) - dsize / 2))
-        src._paste(frame, src2._patch_at(dsize), dx, dy)
+        src._paste(frame, src2._patch_at(dsize), dx, dy,
+                   src2._alpha_at(dsize))
     u = rng.random()
     if u < full_occ_frac:
         # Full occlusion: slab bigger than the target, centred on it.

@@ -74,6 +74,60 @@ def test_distractors_deterministic_and_present():
     assert np.array_equal(src.frame_rgb(33)[ys, xs], plain[ys, xs])
 
 
+def test_masked_target_silhouettes():
+    """Ellipse/diamond alpha masks show background at the gt box corners
+    while the centre still shows the patch; default stays rectangular."""
+    for style in ("ellipse", "diamond"):
+        src = SyntheticSource(320, 256, obj_size=48, seed=5,
+                              mask_style=style)
+        x, y, w, h = src.bbox_at(9)
+        f = src.frame_rgb(9)
+        bg = src.background
+        xi, yi = int(round(x)), int(round(y))
+        # Corners of the box lie outside the silhouette -> pure background.
+        for cy, cx in ((yi, xi), (yi, xi + int(w) - 1),
+                       (yi + int(h) - 1, xi), (yi + int(h) - 1,
+                                               xi + int(w) - 1)):
+            assert np.array_equal(f[cy, cx], bg[cy, cx]), style
+        # Centre shows the patch, not the background.
+        cyc, cxc = yi + int(h) // 2, xi + int(w) // 2
+        assert not np.array_equal(f[cyc, cxc], bg[cyc, cxc])
+    # Default construction draws nothing extra from the rng: scenes with
+    # and without the new kwargs are bit-identical.
+    a = SyntheticSource(320, 256, obj_size=48, seed=5).frame_rgb(9)
+    b = SyntheticSource(320, 256, obj_size=48, seed=5, mask_style="none",
+                        edge_fade=0.0).frame_rgb(9)
+    assert np.array_equal(a, b)
+
+
+def test_edge_fade_blends_toward_background():
+    """edge_fade ramps target alpha to 0 at the silhouette edge: border
+    pixels move toward the background value, the centre stays pure patch,
+    and alpha is monotone along a ray."""
+    src = SyntheticSource(320, 256, obj_size=48, seed=6, edge_fade=0.5)
+    x, y, w, h = src.bbox_at(9)
+    xi, yi = int(round(x)), int(round(y))
+    f = src.frame_rgb(9).astype(int)
+    bg = src.background.astype(int)
+    patch = src._patch_at(int(w)).astype(int)
+    cyc = yi + int(h) // 2
+    # Box-edge pixel (alpha ~ 1/size, not exactly 0 at the pixel centre)
+    # sits essentially on the background; centre (alpha 1) is pure patch.
+    assert np.abs(f[cyc, xi] - bg[cyc, xi]).max() <= 12
+    assert (np.abs(f[cyc, xi] - bg[cyc, xi]).max()
+            < np.abs(patch[int(h) // 2, int(w) // 2]
+                     - bg[cyc, xi + int(w) // 2]).max())
+    assert np.array_equal(f[cyc, xi + int(w) // 2],
+                          np.clip(patch[int(h) // 2, int(w) // 2], 0, 255))
+    # Mid-fade pixel is strictly between background and patch.
+    alpha = src._alpha_at(int(w))
+    j = int(np.argmin(np.abs(alpha[int(h) // 2] - 0.5)))
+    mid = f[cyc, xi + j]
+    lo = np.minimum(bg[cyc, xi + j], patch[int(h) // 2, j])
+    hi = np.maximum(bg[cyc, xi + j], patch[int(h) // 2, j])
+    assert ((lo <= mid) & (mid <= hi)).all()
+
+
 def test_heldout_world_contract():
     src = HeldoutSource(320, 256, obj_size=48, seed=0)
     f = src.frame_rgb(12)
