@@ -192,7 +192,7 @@ def main(argv=None) -> int:
     phases = PhaseTimer()   # map/track/draw micro-breakdown (pipeline_ir.rs:126-208)
     sinks = []
     if args.record:
-        sinks.append(FileSink(args.record))
+        sinks.append(FileSink(args.record, fps=float(args.fps)))
     if args.preview >= 0:
         preview = MJPEGSink(args.preview, host=args.preview_host)
         print(f"live preview: http://{preview.host}:{preview.port}/")
@@ -236,6 +236,12 @@ def main(argv=None) -> int:
                     session.slots[k] = Slot.TRACKING
                     session.boxes[k] = tuple(float(v) for v in bbs[k])
                     session.scores[k] = float(scores[k])
+                else:
+                    # Mirror the interactive low-score path: deactivate the
+                    # backend slot, or every later frame batch-updates a
+                    # slot the session ignores and the HUD stays pinned on
+                    # "SELECT START k OF n" forever in headless mode.
+                    session.tracker.deactivate(k)
             print(f"headless auto-init: {session.state_name()} scores="
                   + ",".join(f"{float(s):.2f}" for s in scores))
         else:

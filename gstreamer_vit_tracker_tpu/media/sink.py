@@ -214,10 +214,22 @@ class FileSink:
     def write(self, frame: np.ndarray) -> None:
         if self._n >= self.max_frames:
             return
+        frame = np.asarray(frame)
         if self._y4m is not None:
-            self._y4m.write_rgb(np.asarray(frame))
+            if frame.ndim == 2:
+                # Luma-only frame (the app's nv12 display path composites
+                # the HUD on the Y plane alone, mirroring the reference's
+                # luma overlays, drawing.rs): record as grayscale 4:2:0
+                # with neutral chroma.
+                h, w = frame.shape
+                y = frame[:h - h % 2, :w - w % 2]
+                uv = np.full((y.shape[0] // 2, y.shape[1] // 2, 2), 128,
+                             np.uint8)
+                self._y4m.write_nv12(y, uv)
+            else:
+                self._y4m.write_rgb(frame)
         else:
-            self._frames.append(np.asarray(frame))
+            self._frames.append(frame)
         self._n += 1
 
     def close(self) -> None:

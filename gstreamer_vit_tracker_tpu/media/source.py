@@ -398,8 +398,14 @@ class SyntheticSource:
         occ = self.occluder_rect_at(i)                # over the target
         if occ is not None:
             ox, oy, ow, oh = occ
-            tex = np.clip(np.round(_bilinear_resize_f32(
-                self._occ_tex, max(ow, oh))), 0, 255).astype(np.uint8)
+            side = max(ow, oh)
+            tex = self._patch_cache.get(("occ", side))
+            if tex is None:   # ow/oh repeat across frames; cache per size
+                tex = np.clip(np.round(_bilinear_resize_f32(
+                    self._occ_tex, side)), 0, 255).astype(np.uint8)
+                if len(self._patch_cache) > 64:
+                    self._patch_cache.clear()
+                self._patch_cache[("occ", side)] = tex
             self._paste(img, tex[:oh, :ow], ox, oy)
         return img
 
@@ -457,7 +463,11 @@ class HeldoutSource:
         # Convex-polygon target with a radial two-colour gradient.
         s = obj_size
         k = int(rng.integers(5, 9))
-        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        # Deliberate discarded draw: an earlier construction sampled free
+        # angles here; the draw is kept so the rng stream (and thus every
+        # held-out scene all published heldout IoU numbers were measured
+        # on) stays stable.  Do not remove without re-baselining.
+        rng.uniform(0, 2 * np.pi, k)
         # Near-even vertex spacing + high radii keep the polygon fat (a
         # thin sliver would make the gt box mostly background).
         ang = 2 * np.pi * np.arange(k) / k + rng.uniform(-0.3, 0.3, k)

@@ -100,7 +100,7 @@ class TrackerSession:
             return self._process_selecting(frame)
         if self.state == SessionState.TRACKING:
             return self._process_tracking(frame)
-        return self._process_lost()
+        return self._process_lost(frame)
 
     def _process_selecting(self, frame: Any) -> Optional[BBox]:
         if not self.pending_confirm:
@@ -184,7 +184,7 @@ class TrackerSession:
         self.lost = Lost(0)
         self.current_score = 0.0
 
-    def _process_lost(self) -> Optional[BBox]:
+    def _process_lost(self, frame: Any) -> Optional[BBox]:
         self.pending_confirm = False
         if self.lost.frames > self.cfg.lost_frames_max:
             self.log("Auto-reset to selection mode")
@@ -192,8 +192,27 @@ class TrackerSession:
             self.selection = SelectionState.new(self.frame_width,
                                                 self.frame_height, self.cfg)
             self.current_bbox = None
-        else:
+            return None
+        # Keep updating while Lost: the core's frozen window + re-detection
+        # ramp (tracker/core.py) only advance when the tracker sees frames,
+        # so a target reappearing after occlusion is re-acquired here —
+        # deliberately exceeding the reference, whose Lost state only
+        # counts frames (tracker_context.rs:142-152).  The 60-frame
+        # auto-reset above is preserved unchanged.
+        try:
+            bbox, score, success = self.tracker.update(frame)
+        except Exception as e:
+            self.log(f"Tracker error: {e!r}")
+            self._recover_backend()
             self.lost = Lost(self.lost.frames + 1)
+            return None
+        if success and score > self.cfg.score_threshold:
+            self.current_bbox = bbox
+            self.current_score = score
+            self.state = SessionState.TRACKING
+            self.log(f"*** Target re-acquired (score={score:.2f}) ***")
+            return bbox
+        self.lost = Lost(self.lost.frames + 1)
         return None
 
     # -- status (tracker_context.rs:157-166) -------------------------------

@@ -86,6 +86,22 @@ class JaxMultiTrackerBackend:
             self._jnp.asarray(self.active), self.cfg, self.frame_format)
         return np.asarray(bboxes), np.asarray(scores)
 
+    def update_slot(self, frame, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Advance ONLY slot ``k`` (one-hot active mask; same compiled
+        program as :meth:`update`).  Used for init validation — a batched
+        update there would advance every other slot a second time on the
+        same frame (frame_idx and template-update schedule skew)."""
+        import numpy as np
+
+        if self.state is None:
+            raise RuntimeError("no slot initialised")
+        mask = np.zeros(self.n, bool)
+        mask[k] = True
+        self.state, bboxes, scores = self._multi.update_objects_jit(
+            self.params, self.state, self._to_device(frame),
+            self._jnp.asarray(mask), self.cfg, self.frame_format)
+        return np.asarray(bboxes), np.asarray(scores)
+
     def recover(self) -> None:
         self.params = self._jax.tree.map(self._jnp.asarray,
                                          self._host_params)
@@ -233,7 +249,9 @@ class MultiObjectSession:
                          f"h={bbox[3]} ***")
                 try:
                     self.tracker.init_slot(frame, slot, bbox)
-                    bboxes, scores = self.tracker.update(frame)
+                    # Validate with a one-hot update: step 1 already
+                    # advanced the other slots on this frame.
+                    bboxes, scores = self.tracker.update_slot(frame, slot)
                     score = float(scores[slot])
                 except Exception as e:     # backend fault path
                     self.log(f"Tracker error: {e!r}")

@@ -156,6 +156,14 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
             cfg.lost_window_max_growth)
         factor = cfg.search_factor * expand
     window = pp.crop_window(state.bbox, factor)
+    if cfg.preprocess_band is not None and cfg.lost_window_growth > 1.0:
+        # The banded preprocess zero-fades everything outside the static
+        # band; a ramped re-detection window larger than the band would
+        # "search" pixels that are actually zeros.  Clamp the grown window
+        # to the band so the ramp only ever reaches real pixels (the
+        # normal-tracking window is sized to fit the band by construction).
+        window = window._replace(
+            size=jnp.minimum(window.size, float(cfg.preprocess_band)))
     if fused_embed:
         patches = prep(frame, window, cfg.search_size, cfg,
                        patch_major=cfg.patch_size)

@@ -82,17 +82,27 @@ def _pooled_source(seed: int, obj: int) -> SyntheticSource:
     """Scene construction dominates sample cost; reuse a bounded pool of
     pre-built scenes (seeds repeat, frames/jitter still vary)."""
     w, h = _SCENE_SIZES[seed % len(_SCENE_SIZES)]
-    mi = (seed // 11) % len(_MASK_STYLES)
-    fi = (seed // 13) % len(_EDGE_FADES)
-    key = (seed % 16, (obj // 8) * 8, w, mi, fi)
+    k0, ob = seed % 16, (obj // 8) * 8
+    key = (k0, ob, w)
+    # Appearance styles are DETERMINISTIC functions of the key (not of the
+    # full seed): every style combination would otherwise multiply the key
+    # space ~20x past _SOURCE_POOL_MAX, and scene construction — not crop
+    # sampling — dominates datagen cost on the 1-core host (measured: an
+    # independent-style key space dropped datagen from ~50 to ~5
+    # samples/s).  Styles still cover all families across the 16 k0 x obj
+    # bands x sizes; a cache hit always returns exactly the styles this
+    # key maps to.
+    pi = (k0 * 2 + ob // 8) % len(_PATCH_STYLES)
+    bi = (k0 + w) % len(_BG_STYLES)
+    mi = (k0 + ob // 8 + w) % len(_MASK_STYLES)
+    fi = (k0 // 2 + ob // 8) % len(_EDGE_FADES)
     src = _SOURCE_POOL.get(key)
     if src is None:
         if len(_SOURCE_POOL) >= _SOURCE_POOL_MAX:
             _SOURCE_POOL.clear()
         src = SyntheticSource(
-            w, h, obj_size=obj, seed=key[0] * 131 + obj,
-            patch_style=_PATCH_STYLES[(seed // 7) % len(_PATCH_STYLES)],
-            bg_style=_BG_STYLES[(seed // 5) % len(_BG_STYLES)],
+            w, h, obj_size=obj, seed=k0 * 131 + obj,
+            patch_style=_PATCH_STYLES[pi], bg_style=_BG_STYLES[bi],
             mask_style=_MASK_STYLES[mi], edge_fade=_EDGE_FADES[fi])
         _SOURCE_POOL[key] = src
     return src

@@ -73,7 +73,7 @@ def make_source(scenario: str, seq: int, args) -> object:
     return SyntheticSource(args.width, args.height, **kw)
 
 
-def run_sequence(upd, params, cfg, src, frames: int, thr: float = 0.25):
+def run_sequence(upd, params, cfg, src, frames: int):
     """Track one sequence.  Returns per-frame (iou, conf, visible_frac)."""
     st = core.init(params, jnp.asarray(src.frame_rgb(0)),
                    jnp.asarray(src.bbox_at(0)), cfg)

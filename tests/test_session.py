@@ -73,7 +73,10 @@ def test_init_just_above_threshold_accepted():
 def test_tracking_loss_and_auto_reset_after_62_lost_frames():
     # Enter Lost on a low score, then the reference resets when the counter
     # EXCEEDS 60 — the 62nd lost-state frame (tracker_context.rs:142-151).
-    s, _ = make_session([GOOD, ((0, 0, 1, 1), 0.1, True)])
+    # Lost frames keep updating the tracker (re-detection); every update
+    # here stays below threshold so the counter runs to the reset.
+    low = ((0, 0, 1, 1), 0.1, True)
+    s, _ = make_session([GOOD] + [low] * 80)
     confirm_twice(s)
     s.process_frame(None)                   # low score -> Lost(0)
     assert s.state_name() == "LOST"
@@ -82,6 +85,43 @@ def test_tracking_loss_and_auto_reset_after_62_lost_frames():
         assert s.state_name() == "LOST", f"reset too early at {i}"
     s.process_frame(None)                   # frames(61) > 60 -> reset
     assert s.state_name() == "SELECT START"
+
+
+def test_lost_reacquires_on_confident_update():
+    """While Lost the session keeps feeding the tracker (frozen window +
+    re-detection ramp live in tracker/core.py); a confident update flips
+    straight back to TRACKING without a re-selection."""
+    low = ((0, 0, 1, 1), 0.1, True)
+    back = ((200.0, 150.0, 50.0, 50.0), 0.8, True)
+    s, _ = make_session([GOOD, low, low, low, back])
+    confirm_twice(s)
+    s.process_frame(None)                   # -> Lost(0)
+    s.process_frame(None)                   # low
+    s.process_frame(None)                   # low
+    assert s.state_name() == "LOST"
+    bbox = s.process_frame(None)            # confident -> re-acquired
+    assert s.state_name() == "TRACKING"
+    assert bbox == back[0]
+    assert s.current_score == 0.8
+    # A later loss starts a FRESH 60-frame countdown.
+    s.process_frame(None)                   # stub queue empty -> 0.9 GOOD-ish
+    assert s.state_name() == "TRACKING"
+
+
+def test_lost_update_error_counts_and_recovers_backend():
+    """A tracker exception while Lost must not crash the session: it
+    counts as a lost frame and triggers backend recovery."""
+    low = ((0, 0, 1, 1), 0.1, True)
+    s, tr = make_session([GOOD, low, RuntimeError("boom"), low])
+    tr.recovered = 0
+    tr.recover = lambda: setattr(tr, "recovered", tr.recovered + 1)
+    confirm_twice(s)
+    s.process_frame(None)                   # -> Lost(0)
+    s.process_frame(None)                   # raises -> counted, recovered
+    assert s.state_name() == "LOST"
+    assert tr.recovered == 1
+    s.process_frame(None)                   # low, still LOST
+    assert s.state_name() == "LOST"
 
 
 def test_tracker_error_during_tracking_goes_lost():

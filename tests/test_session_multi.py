@@ -38,6 +38,12 @@ class StubMultiBackend:
                              else 0.0 for k in range(self.n)], np.float32)
         return self.boxes.copy(), scores
 
+    def update_slot(self, frame, k):
+        # One-hot validation update: other slots must NOT advance (no tick).
+        scores = np.zeros(self.n, np.float32)
+        scores[k] = self.score_fn(k, self.tick)
+        return self.boxes.copy(), scores
+
 
 def confirm(sess):
     sess.handle_command(UserCommand(Kind.CONFIRM))

@@ -113,6 +113,26 @@ def test_filesink_streams_y4m(tmp_path):
     assert os.path.getsize(path) > 3 * 64 * 48 * 3 // 2
 
 
+def test_filesink_streams_luma_y4m(tmp_path):
+    """2D luma frames (the app's nv12 display path: HUD composited on the
+    Y plane alone) record as grayscale 4:2:0 with neutral chroma — the
+    `--format nv12 --record out.y4m` path must not crash."""
+    path = str(tmp_path / "luma.y4m")
+    sink = FileSink(path, fps=30.0)
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (48, 64), np.uint8) for _ in range(3)]
+    for f in frames:
+        sink.write(f)
+    sink.close()
+    assert sink.frames == 3
+    r = Y4MReader(path)
+    assert r.num_frames == 3 and (r.width, r.height) == (64, 48)
+    y, uv = r.frame_nv12(1)
+    assert np.array_equal(y, frames[1])
+    assert (uv == 128).all()
+    r.close()
+
+
 def test_y4m_tracking_end_to_end(tmp_path):
     """A y4m clip tracks through the real NV12 preprocess + tracker core
     (CPU, tiny model) — the '--source file --input clip.y4m' path."""
