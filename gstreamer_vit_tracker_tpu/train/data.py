@@ -70,12 +70,16 @@ _PATCH_STYLES = ("quad", "quad", "quad", "noise", "grad", "stripes")
 _BG_STYLES = ("smooth", "smooth", "octave")
 # Silhouette diversity (round-3 heldout work): non-rectangular targets
 # (alpha-masked ellipse/diamond, gt box unchanged) and soft edges (alpha
-# ramp over the outer 20-40% of the silhouette).  Trains "box the full
+# ramp over the outer fraction of the silhouette).  Trains "box the full
 # extent even when the boundary fades into the background" — the observed
 # heldout failure mode (soft-edged polygons boxed tighter than gt).
-# Rect targets stay the majority; fades apply to every mask style.
-_MASK_STYLES = ("none", "none", "none", "ellipse", "diamond")
-_EDGE_FADES = (0.0, 0.0, 0.2, 0.4)
+# Frequencies are deliberately LOW: a first cut at 40% masked + 50% faded
+# targets made the from-scratch model under-commit everywhere (basic IoU
+# 0.976 -> 0.916, conf ~0.65 on clean sequences) — too much boundary
+# ambiguity reads as label noise.  ~25% masked, ~25% mildly faded keeps
+# the clean-rect majority that anchors confidence.
+_MASK_STYLES = ("none",) * 6 + ("ellipse", "diamond")
+_EDGE_FADES = (0.0, 0.0, 0.0, 0.25)
 
 
 def _pooled_source(seed: int, obj: int) -> SyntheticSource:
@@ -252,18 +256,19 @@ def make_batch(rng: np.random.Generator, batch: int, cfg: ModelConfig,
 
 
 def make_dataset(seed: int, n: int, cfg: ModelConfig,
-                 border_frac: float = 0.4, log_every: int = 0
-                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                 border_frac: float = 0.4, log_every: int = 0,
+                 **sample_kw) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pre-generate an n-sample dataset as uint8 crop stacks.
 
     Host data-gen runs ~50 samples/s on the 1-core box, far below the TPU
     step rate — so long runs pre-generate once, upload to HBM, and sample
     minibatches on device (train.step.train_scan), with augmentation
-    restoring variety."""
+    restoring variety.  ``sample_kw`` passes through to
+    :func:`sample_raw` (e.g. ``full_occ_frac``)."""
     rng = np.random.default_rng(seed)
     zs, xs, gts = [], [], []
     for i in range(n):
-        z, x, gt = sample_raw(rng, cfg, border_frac)
+        z, x, gt = sample_raw(rng, cfg, border_frac, **sample_kw)
         zs.append(z)
         xs.append(x)
         gts.append(gt)

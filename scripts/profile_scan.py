@@ -63,6 +63,10 @@ def main() -> int:
         from gstreamer_vit_tracker_tpu.models import weights as wmod
 
         params = wmod.load_npz(ckpt, params)
+    # Bench-condition params: derived 4-conv grouped head on the unbatched
+    # serving path (bench.py applies the same; without it the profiled
+    # step pays the 12-conv tower the bench does not).
+    params = vittrack.with_grouped_head(params)
 
     rng = np.random.default_rng(0)
     h, w, s, pool = 1080, 1920, args.streams, 16

@@ -62,12 +62,20 @@ def main(argv=None) -> int:
                     help="EMA decay for a parallel averaged checkpoint "
                          "(0 disables)")
     ap.add_argument("--preset", default="small", choices=sorted(PRESETS))
+    ap.add_argument("--init-from", default="",
+                    help="warm-start from an existing checkpoint (fine-tune "
+                         "on a shifted data distribution without paying for "
+                         "from-scratch convergence; pair with a lower --lr)")
     ap.add_argument("--out", default="weights_synthetic.npz")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dataset-size", type=int, default=8192)
     ap.add_argument("--border-frac", type=float, default=0.4,
                     help="fraction of samples with the target pinned to a "
                          "frame border (long-horizon robustness)")
+    ap.add_argument("--full-occ-frac", type=float, default=0.12,
+                    help="fraction of fully-occluded visible=0 negatives "
+                         "(anchors the hidden-confidence collapse the Lost "
+                         "machine's 0.25 threshold depends on)")
     ap.add_argument("--refresh-every", type=int, default=0,
                     help="regenerate the dataset every N steps (0: never)")
     ap.add_argument("--log-every", type=int, default=100,
@@ -86,6 +94,9 @@ def main(argv=None) -> int:
     # *inference* of f32-trained weights is loss-free (tests/test_parity.py).
     cfg = dataclasses.replace(PRESETS[args.preset], dtype="float32")
     params = vittrack.init_params(jax.random.PRNGKey(args.seed), cfg)
+    if args.init_from:
+        params = weights.load_npz(args.init_from, params)
+        print(f"warm-start from {args.init_from}", flush=True)
     print(f"preset {args.preset}: {vittrack.count_params(params):,} params, "
           f"backend {jax.default_backend()}", flush=True)
 
@@ -97,7 +108,8 @@ def main(argv=None) -> int:
     def gen_dataset(seed):
         t = time.perf_counter()
         ds = data.make_dataset(seed, args.dataset_size, cfg,
-                               border_frac=args.border_frac)
+                               border_frac=args.border_frac,
+                               full_occ_frac=args.full_occ_frac)
         print(f"dataset: {args.dataset_size} samples "
               f"({time.perf_counter() - t:.0f}s host gen)", flush=True)
         return tuple(jnp.asarray(a) for a in ds)
