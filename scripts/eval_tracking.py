@@ -33,8 +33,6 @@ import numpy as np
 
 from gstreamer_vit_tracker_tpu.config import ModelConfig
 from gstreamer_vit_tracker_tpu.utils import compile_cache
-
-compile_cache.enable()
 from gstreamer_vit_tracker_tpu.media.source import (HeldoutSource,
                                                     SyntheticSource)
 from gstreamer_vit_tracker_tpu.models import vittrack, weights
@@ -133,7 +131,18 @@ def main(argv=None) -> int:
     ap.add_argument("--speed", type=float, default=3.0)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (slow but immune to relay "
+                         "outages; compile cache stays off — see "
+                         "utils/compile_cache.enable)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        # Must land before first backend use; env vars alone can't override
+        # the sitecustomize-pinned axon platform.
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        compile_cache.enable()
 
     cfg = PRESETS[args.preset]
     params = vittrack.init_params(jax.random.PRNGKey(0), cfg)
