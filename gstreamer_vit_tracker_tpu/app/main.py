@@ -223,8 +223,7 @@ def main(argv=None) -> int:
             session.tracker.init_slot(frame0, 0, bbox)
             for k in range(1, args.objects):
                 if isinstance(src, SyntheticSource) and src._distractors:
-                    dx, dy = src._distractor_pos(k - 1, 0)
-                    bb = (dx, dy, src.obj_size, src.obj_size)
+                    bb = tuple(int(v) for v in src.object_bbox_at(k, 0))
                 else:
                     bb = (20 + 90 * k, 20, 80, 80)
                 session.tracker.init_slot(frame0, k, bb)

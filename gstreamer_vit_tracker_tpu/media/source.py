@@ -370,6 +370,19 @@ class SyntheticSource:
             self._paste(img, patch, xi, yi, alpha)
         return img, (float(xi), float(yi), float(w), float(h))
 
+    def object_bbox_at(self, k: int, i: int) -> Tuple[float, float, float, float]:
+        """Ground truth for object ``k`` at frame ``i``: object 0 is the
+        primary target (:meth:`bbox_at`), objects 1..n_distractors are the
+        lookalike distractors — every rendered patch has a known
+        trajectory, which turns any distractor scene into a ground-truthed
+        MULTI-object scene (the app's ``--objects N`` and the eval's
+        multi-object scenario both lean on this)."""
+        if k == 0:
+            return self.bbox_at(i)
+        dx, dy = self._distractor_pos(k - 1, i)
+        s = self.obj_size
+        return (float(dx), float(dy), float(s), float(s))
+
     def _distractor_pos(self, j: int, i: int) -> Tuple[int, int]:
         s = self.obj_size
         ax = (self.width - s - 20) / 2

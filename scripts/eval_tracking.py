@@ -71,6 +71,29 @@ def make_source(scenario: str, seq: int, args) -> object:
     return SyntheticSource(args.width, args.height, **kw)
 
 
+def run_sequence_multi(params, cfg, src, frames: int, n_obj: int):
+    """Track n_obj targets (primary + distractors, all ground-truthed) in
+    one batched jitted step (tracker.multi, BASELINE config 3).  Returns
+    per-object mean IoU and mean confidence."""
+    from gstreamer_vit_tracker_tpu.tracker import multi
+
+    bbs = jnp.asarray([src.object_bbox_at(k, 0) for k in range(n_obj)],
+                      dtype=jnp.float32)
+    st = multi.init_objects_jit(params, jnp.asarray(src.frame_rgb(0)),
+                                bbs, cfg)
+    active = jnp.ones((n_obj,), bool)
+    ious = np.zeros((frames, n_obj))
+    confs = np.zeros((frames, n_obj))
+    for i in range(1, frames + 1):
+        st, bboxes, scores = multi.update_objects_jit(
+            params, st, jnp.asarray(src.frame_rgb(i)), active, cfg)
+        b, s = np.asarray(bboxes), np.asarray(scores)
+        for k in range(n_obj):
+            ious[i - 1, k] = iou(b[k], np.asarray(src.object_bbox_at(k, i)))
+        confs[i - 1] = s
+    return ious.mean(axis=0), confs.mean(axis=0)
+
+
 def run_sequence(upd, params, cfg, src, frames: int):
     """Track one sequence.  Returns per-frame (iou, conf, visible_frac)."""
     st = core.init(params, jnp.asarray(src.frame_rgb(0)),
@@ -131,6 +154,10 @@ def main(argv=None) -> int:
     ap.add_argument("--speed", type=float, default=3.0)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--objects", type=int, default=1, metavar="N",
+                    help="track N ground-truthed objects per frame (primary "
+                         "+ N-1 lookalike distractors) through the batched "
+                         "multi-object step; reports per-object IoU")
     ap.add_argument("--cpu", action="store_true",
                     help="run on the CPU backend (slow but immune to relay "
                          "outages; compile cache stays off — see "
@@ -149,6 +176,26 @@ def main(argv=None) -> int:
     if args.checkpoint:
         params = weights.load_npz(args.checkpoint, params)
         print(f"loaded {args.checkpoint}")
+
+    if args.objects > 1:
+        # Multi-object mode: every rendered patch (primary + lookalike
+        # distractors) is a ground-truthed target for the batched step.
+        n = args.objects
+        print(f"--- multi-object: {n} targets/frame (batched step)")
+        per_obj = []
+        for seq in range(args.seqs):
+            src = SyntheticSource(args.width, args.height,
+                                  obj_size=40 + 8 * seq, seed=seq,
+                                  speed=args.speed, n_distractors=n - 1)
+            mi, mc = run_sequence_multi(params, cfg, src, args.frames, n)
+            per_obj.append(mi)
+            objs = " ".join(f"{v:.3f}" for v in mi)
+            print(f"seq {seq}: per-object mean IoU [{objs}] "
+                  f"conf [{' '.join(f'{v:.2f}' for v in mc)}]")
+        all_iou = np.asarray(per_obj)
+        print(f"multi-object overall mean IoU {all_iou.mean():.3f} "
+              f"(min object {all_iou.min():.3f})")
+        return 0
 
     upd = jax.jit(lambda p, s, f: core.update(p, s, f, cfg))
     scenarios = SCENARIOS if args.scenario == "all" else (args.scenario,)

@@ -188,3 +188,36 @@ def test_eval_summarize_metrics():
     assert s["hidden_below_thr_frac"] == 1.0
     assert 0.7 < s["reacquire_iou"] <= 0.8
     assert s["lost_frames"] == 6
+
+
+def test_eval_multi_object_runner():
+    """--objects N tracks primary + distractors through the batched step
+    with per-object ground truth (media.source.object_bbox_at)."""
+    import sys
+    sys.path.insert(0, ".")
+    from scripts import eval_tracking
+
+    rc = eval_tracking.main([
+        "--preset", "corr-tiny", "--objects", "2", "--seqs", "1",
+        "--frames", "10", "--width", "192", "--height", "160"])
+    assert rc == 0
+
+
+def test_object_bbox_at_ground_truth():
+    from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
+
+    src = SyntheticSource(320, 256, obj_size=40, seed=1, n_distractors=2)
+    assert src.object_bbox_at(0, 7) == src.bbox_at(7)
+    for k in (1, 2):
+        x, y, w, h = src.object_bbox_at(k, 7)
+        assert (w, h) == (40.0, 40.0)
+        dx, dy = src._distractor_pos(k - 1, 7)
+        assert (x, y) == (float(dx), float(dy))
+        # The distractor patch is really rendered at that position.
+        img = src.frame_rgb(7)
+        patch = src._patch_at(40, k - 1)
+        sub = img[int(y):int(y) + 40, int(x):int(x) + 40]
+        if sub.shape == patch.shape:          # fully in frame
+            # target/occluder may overdraw; require majority agreement
+            frac = (sub == patch).all(axis=-1).mean()
+            assert frac > 0.5, frac
