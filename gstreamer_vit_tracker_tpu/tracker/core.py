@@ -122,7 +122,8 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
            frame_format: str = "rgb",
            use_pallas: bool | None = None,
            fused: bool | None = None,
-           fused_embed: bool = False) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+           fused_embed: bool = False,
+           fused_prep: bool = False) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """Track one frame.  Returns (new_state, bbox_xywh, confidence).
 
     Mirrors ``tracker.update(full_image) -> TrackResult{bbox, score,
@@ -164,7 +165,17 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
         # normal-tracking window is sized to fit the band by construction).
         window = window._replace(
             size=jnp.minimum(window.size, float(cfg.preprocess_band)))
-    if fused_embed:
+    if fused_prep and frame_format == "nv12":
+        # Whole preprocess + patch-embed in ONE Pallas kernel
+        # (ops/fused_prep_embed.py); opt-in pending a device A/B.
+        from ..ops import fused_prep_embed as fpe
+
+        y_plane, uv_plane = frame
+        x_tok = fpe.nv12_search_tokens(params, y_plane, uv_plane, window,
+                                       cfg)[None]
+        maps = vittrack.forward_tokens(params, state.z_tok[None], x_tok, cfg,
+                                       use_pallas=use_pallas, fused=fused)
+    elif fused_embed:
         patches = prep(frame, window, cfg.search_size, cfg,
                        patch_major=cfg.patch_size)
         x_tok = vittrack.embed_search_patches(params, patches, cfg)[None]
