@@ -71,6 +71,11 @@ def build_argparser() -> argparse.ArgumentParser:
                          "one batched TPU update per frame, per-target "
                          "Lost handling; exceeds the single-object "
                          "reference deliberately)")
+    ap.add_argument("--exclusive", action="store_true",
+                    help="with --objects: cross-slot duplicate suppression "
+                         "— two slots collapsing onto one target after a "
+                         "lookalike crossing sends the lower-confidence "
+                         "one to lost/re-detection (tracker/multi.py)")
     ap.add_argument("--format", default="rgb", choices=["rgb", "nv12", "yuy2"],
                     dest="fmt",
                     help="frame format: rgb (active-pipeline analog), nv12 "
@@ -176,7 +181,8 @@ def main(argv=None) -> int:
 
         def make_backend():
             return JaxMultiTrackerBackend(params, mcfg, args.objects,
-                                          frame_format=args.fmt)
+                                          frame_format=args.fmt,
+                                          exclusive=args.exclusive)
     else:
         def make_backend():
             return JaxTrackerBackend(params, mcfg, frame_format=args.fmt,

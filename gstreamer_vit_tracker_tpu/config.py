@@ -144,6 +144,12 @@ class ModelConfig:
     # disables the ramp.
     lost_window_growth: float = 1.12
     lost_window_max_growth: float = 4.0
+    # Multi-object exclusive slots (tracker/multi.py): two slots whose
+    # decoded boxes overlap beyond this IoU are treated as one target
+    # claimed twice — the lower-confidence slot reverts to its previous
+    # box and enters the lost/re-detection path.  Only consulted when a
+    # batched update is called with exclusive=True.
+    exclusive_overlap_threshold: float = 0.6
 
     @property
     def feat_size(self) -> int:

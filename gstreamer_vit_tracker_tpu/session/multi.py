@@ -35,7 +35,7 @@ class JaxMultiTrackerBackend:
     """
 
     def __init__(self, params: Dict[str, Any], cfg, n_objects: int,
-                 frame_format: str = "rgb"):
+                 frame_format: str = "rgb", exclusive: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -46,6 +46,9 @@ class JaxMultiTrackerBackend:
         self.cfg = cfg
         self.n = n_objects
         self.frame_format = frame_format
+        # Cross-slot duplicate suppression (tracker/multi.py): slots
+        # sharing the frame refuse to collapse onto one target.
+        self.exclusive = exclusive
         self.state = None
         self.active = np.zeros(n_objects, bool)
         self._host_params = jax.device_get(params)
@@ -83,7 +86,8 @@ class JaxMultiTrackerBackend:
             raise RuntimeError("no slot initialised")
         self.state, bboxes, scores = self._multi.update_objects_jit(
             self.params, self.state, self._to_device(frame),
-            self._jnp.asarray(self.active), self.cfg, self.frame_format)
+            self._jnp.asarray(self.active), self.cfg, self.frame_format,
+            exclusive=self.exclusive)
         return np.asarray(bboxes), np.asarray(scores)
 
     def update_slot(self, frame, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -99,7 +103,8 @@ class JaxMultiTrackerBackend:
         mask[k] = True
         self.state, bboxes, scores = self._multi.update_objects_jit(
             self.params, self.state, self._to_device(frame),
-            self._jnp.asarray(mask), self.cfg, self.frame_format)
+            self._jnp.asarray(mask), self.cfg, self.frame_format,
+            exclusive=self.exclusive)
         return np.asarray(bboxes), np.asarray(scores)
 
     def recover(self) -> None:

@@ -51,6 +51,49 @@ def _batched_cfg(cfg: ModelConfig) -> ModelConfig:
     return dataclasses.replace(cfg, preprocess_band=None)
 
 
+def _pairwise_iou(b: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) xywh -> (N, N) IoU matrix (vector ops, no gathers)."""
+    x1, y1 = b[:, 0], b[:, 1]
+    x2, y2 = b[:, 0] + b[:, 2], b[:, 1] + b[:, 3]
+    ix = (jnp.minimum(x2[:, None], x2[None, :])
+          - jnp.maximum(x1[:, None], x1[None, :]))
+    iy = (jnp.minimum(y2[:, None], y2[None, :])
+          - jnp.maximum(y1[:, None], y1[None, :]))
+    inter = jnp.maximum(ix, 0.0) * jnp.maximum(iy, 0.0)
+    area = b[:, 2] * b[:, 3]
+    return inter / (area[:, None] + area[None, :] - inter + 1e-9)
+
+
+def _suppress_duplicates(new: TrackState, old: TrackState,
+                         bboxes: jnp.ndarray, scores: jnp.ndarray,
+                         active: jnp.ndarray, thr: float
+                         ) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+    """Exclusive slots: when two slots' boxes collapse onto one target
+    (lookalike-crossing identity theft — the measured multi-object failure
+    mode, eval_tracking --objects), the lower-confidence duplicate is
+    treated as a lost measurement: its bbox reverts to the pre-update box,
+    its confidence is zeroed (below the Lost threshold), and lost_frames
+    increments — which engages the existing window-freeze + re-detection
+    ramp to re-acquire the abandoned target.  Higher confidence wins a
+    pair; ties break toward the lower slot index.  All (N,)-vector ops,
+    in-jit, no host sync."""
+    n = scores.shape[0]
+    m = _pairwise_iou(bboxes)
+    idx = jnp.arange(n)
+    rival_wins = (scores[None, :] > scores[:, None]) | (
+        (scores[None, :] == scores[:, None]) & (idx[None, :] < idx[:, None]))
+    both = active[:, None] & active[None, :] & (idx[:, None] != idx[None, :])
+    loser = ((m > thr) & rival_wins & both).any(axis=1)
+
+    bboxes = jnp.where(loser[:, None], old.bbox, bboxes)
+    scores = jnp.where(loser, 0.0, scores)
+    new = new._replace(
+        bbox=jnp.where(loser[:, None], old.bbox, new.bbox),
+        score=jnp.where(loser, 0.0, new.score),
+        lost_frames=jnp.where(loser, old.lost_frames + 1, new.lost_frames))
+    return new, bboxes, scores
+
+
 def _mask_state(new: TrackState, old: TrackState, active: jnp.ndarray) -> TrackState:
     """Per-slot select: keep ``old`` wherever ``active`` is False."""
 
@@ -75,10 +118,14 @@ def init_objects(params: Params, frame, bboxes: jnp.ndarray, cfg: ModelConfig,
 
 def update_objects(params: Params, state: TrackState, frame,
                    active: jnp.ndarray, cfg: ModelConfig,
-                   frame_format: str = "rgb"
+                   frame_format: str = "rgb", exclusive: bool = False
                    ) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """One frame, N targets.  active: (N,) bool.  Returns
-    (state, bboxes (N,4), scores (N,))."""
+    (state, bboxes (N,4), scores (N,)).
+
+    ``exclusive`` enables cross-slot duplicate suppression (see
+    :func:`_suppress_duplicates`): slots sharing one frame refuse to
+    collapse onto the same target after a lookalike crossing."""
     # fused=False: under this vmap the physical batch is N, where the
     # per-sample fused ViT kernel loses to XLA's batched GEMMs.
     fn = functools.partial(core.update, cfg=_batched_cfg(cfg),
@@ -89,6 +136,10 @@ def update_objects(params: Params, state: TrackState, frame,
     new_state = _mask_state(new_state, state, active)
     bboxes = jnp.where(active[:, None], bboxes, state.bbox)
     scores = jnp.where(active, scores, state.score)
+    if exclusive:
+        new_state, bboxes, scores = _suppress_duplicates(
+            new_state, state, bboxes, scores, active,
+            cfg.exclusive_overlap_threshold)
     return new_state, bboxes, scores
 
 
@@ -105,10 +156,12 @@ def init_streams(params: Params, frames, bboxes: jnp.ndarray, cfg: ModelConfig,
 
 def update_streams(params: Params, state: TrackState, frames,
                    active: jnp.ndarray, cfg: ModelConfig,
-                   frame_format: str = "rgb"
+                   frame_format: str = "rgb", exclusive: bool = False
                    ) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """S streams x M targets in one step.  frames batched on axis 0;
-    active (S, M) bool.  Returns (state, bboxes (S,M,4), scores (S,M))."""
+    active (S, M) bool.  Returns (state, bboxes (S,M,4), scores (S,M)).
+    ``exclusive`` suppresses duplicate locks per stream (objects sharing a
+    frame; slots in different streams never interact)."""
     fn = functools.partial(core.update, cfg=_batched_cfg(cfg),
                            frame_format=frame_format,
                            fused=False)   # physical batch = S x M (see above)
@@ -118,6 +171,11 @@ def update_streams(params: Params, state: TrackState, frames,
     new_state = _mask_state(new_state, state, active)
     bboxes = jnp.where(active[..., None], bboxes, state.bbox)
     scores = jnp.where(active, scores, state.score)
+    if exclusive:
+        thr = cfg.exclusive_overlap_threshold
+        new_state, bboxes, scores = jax.vmap(
+            functools.partial(_suppress_duplicates, thr=thr)
+        )(new_state, state, bboxes, scores, active)
     return new_state, bboxes, scores
 
 
@@ -141,15 +199,19 @@ def init_streams_jit(params, frames, bboxes, cfg: ModelConfig,
     return init_streams(params, frames, bboxes, cfg, frame_format)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "frame_format"),
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format",
+                                             "exclusive"),
                    donate_argnums=(1,))
 def update_objects_jit(params, state, frame, active, cfg: ModelConfig,
-                       frame_format: str = "rgb"):
-    return update_objects(params, state, frame, active, cfg, frame_format)
+                       frame_format: str = "rgb", exclusive: bool = False):
+    return update_objects(params, state, frame, active, cfg, frame_format,
+                          exclusive)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "frame_format"),
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format",
+                                             "exclusive"),
                    donate_argnums=(1,))
 def update_streams_jit(params, state, frames, active, cfg: ModelConfig,
-                       frame_format: str = "rgb"):
-    return update_streams(params, state, frames, active, cfg, frame_format)
+                       frame_format: str = "rgb", exclusive: bool = False):
+    return update_streams(params, state, frames, active, cfg, frame_format,
+                          exclusive)

@@ -71,7 +71,8 @@ def make_source(scenario: str, seq: int, args) -> object:
     return SyntheticSource(args.width, args.height, **kw)
 
 
-def run_sequence_multi(params, cfg, src, frames: int, n_obj: int):
+def run_sequence_multi(params, cfg, src, frames: int, n_obj: int,
+                       exclusive: bool = False):
     """Track n_obj targets (primary + distractors, all ground-truthed) in
     one batched jitted step (tracker.multi, BASELINE config 3).  Returns
     per-object mean IoU and mean confidence."""
@@ -84,14 +85,21 @@ def run_sequence_multi(params, cfg, src, frames: int, n_obj: int):
     active = jnp.ones((n_obj,), bool)
     ious = np.zeros((frames, n_obj))
     confs = np.zeros((frames, n_obj))
+    cover = np.zeros((frames, n_obj))
     for i in range(1, frames + 1):
         st, bboxes, scores = multi.update_objects_jit(
-            params, st, jnp.asarray(src.frame_rgb(i)), active, cfg)
+            params, st, jnp.asarray(src.frame_rgb(i)), active, cfg,
+            exclusive=exclusive)
         b, s = np.asarray(bboxes), np.asarray(scores)
         for k in range(n_obj):
-            ious[i - 1, k] = iou(b[k], np.asarray(src.object_bbox_at(k, i)))
+            gt = np.asarray(src.object_bbox_at(k, i))
+            ious[i - 1, k] = iou(b[k], gt)
+            # Identity-agnostic coverage: is SOME slot on this object?
+            # Separates a label swap (coverage stays high) from a slot
+            # collapse (an object goes untracked).
+            cover[i - 1, k] = max(iou(b[j], gt) for j in range(n_obj))
         confs[i - 1] = s
-    return ious.mean(axis=0), confs.mean(axis=0)
+    return ious.mean(axis=0), confs.mean(axis=0), cover.mean()
 
 
 def run_sequence(upd, params, cfg, src, frames: int):
@@ -158,6 +166,10 @@ def main(argv=None) -> int:
                     help="track N ground-truthed objects per frame (primary "
                          "+ N-1 lookalike distractors) through the batched "
                          "multi-object step; reports per-object IoU")
+    ap.add_argument("--exclusive", action="store_true",
+                    help="with --objects: cross-slot duplicate suppression "
+                         "(tracker/multi.py) — slots refuse to collapse "
+                         "onto one target after a lookalike crossing")
     ap.add_argument("--cpu", action="store_true",
                     help="run on the CPU backend (slow but immune to relay "
                          "outages; compile cache stays off — see "
@@ -182,19 +194,23 @@ def main(argv=None) -> int:
         # distractors) is a ground-truthed target for the batched step.
         n = args.objects
         print(f"--- multi-object: {n} targets/frame (batched step)")
-        per_obj = []
+        per_obj, covers = [], []
         for seq in range(args.seqs):
             src = SyntheticSource(args.width, args.height,
                                   obj_size=40 + 8 * seq, seed=seq,
                                   speed=args.speed, n_distractors=n - 1)
-            mi, mc = run_sequence_multi(params, cfg, src, args.frames, n)
+            mi, mc, cov = run_sequence_multi(params, cfg, src, args.frames,
+                                             n, exclusive=args.exclusive)
             per_obj.append(mi)
+            covers.append(cov)
             objs = " ".join(f"{v:.3f}" for v in mi)
             print(f"seq {seq}: per-object mean IoU [{objs}] "
-                  f"conf [{' '.join(f'{v:.2f}' for v in mc)}]")
+                  f"conf [{' '.join(f'{v:.2f}' for v in mc)}] "
+                  f"coverage {cov:.3f}")
         all_iou = np.asarray(per_obj)
         print(f"multi-object overall mean IoU {all_iou.mean():.3f} "
-              f"(min object {all_iou.min():.3f})")
+              f"(min object {all_iou.min():.3f}), "
+              f"coverage {np.mean(covers):.3f}")
         return 0
 
     upd = jax.jit(lambda p, s, f: core.update(p, s, f, cfg))

@@ -177,3 +177,50 @@ def test_state_stack_and_zeros():
     z = state.zeros_state(CORR)
     stacked = state.stack_states([z, z, z])
     assert stacked.bbox.shape == (3, 4)
+
+
+def test_exclusive_suppresses_duplicate_lock(corr_params):
+    """Two slots initialised on the SAME target: with exclusive=True the
+    lower-confidence duplicate reverts to its previous box, zeroes its
+    confidence (below the Lost threshold) and starts the re-detection
+    counter; without it both keep tracking the same target."""
+    src = SyntheticSource(320, 256, obj_size=48, seed=3)
+    frame0 = jnp.asarray(src.frame_rgb(0))
+    bb = src.bbox_at(0)
+    bboxes = jnp.asarray([bb, bb])          # duplicate lock by construction
+    st = multi.init_objects(corr_params, frame0, bboxes, CORR)
+    active = jnp.ones((2,), bool)
+    frame1 = jnp.asarray(src.frame_rgb(1))
+
+    st_plain, b_plain, s_plain = multi.update_objects(
+        corr_params, st, frame1, active, CORR)
+    assert iou(np.asarray(b_plain[0]), np.asarray(b_plain[1])) > 0.9
+
+    st_x, b_x, s_x = multi.update_objects(
+        corr_params, st, frame1, active, CORR, exclusive=True)
+    # Winner unchanged vs the plain step; loser frozen at its previous box.
+    loser = 1 if float(s_plain[0]) >= float(s_plain[1]) else 0
+    winner = 1 - loser
+    np.testing.assert_allclose(np.asarray(b_x[winner]),
+                               np.asarray(b_plain[winner]))
+    np.testing.assert_allclose(np.asarray(b_x[loser]),
+                               np.asarray(st.bbox[loser]))
+    assert float(s_x[loser]) == 0.0
+    assert int(st_x.lost_frames[loser]) == 1
+    assert int(st_x.lost_frames[winner]) == 0
+
+
+def test_exclusive_leaves_separated_targets_alone(corr_params):
+    """Slots on genuinely different targets are untouched by exclusive."""
+    src = SyntheticSource(320, 256, obj_size=48, seed=3)
+    frame0 = jnp.asarray(src.frame_rgb(0))
+    bboxes = jnp.asarray([src.bbox_at(0), (10.0, 10.0, 48.0, 48.0)])
+    st = multi.init_objects(corr_params, frame0, bboxes, CORR)
+    active = jnp.ones((2,), bool)
+    frame1 = jnp.asarray(src.frame_rgb(1))
+    _, b_plain, s_plain = multi.update_objects(
+        corr_params, st, frame1, active, CORR)
+    _, b_x, s_x = multi.update_objects(
+        corr_params, st, frame1, active, CORR, exclusive=True)
+    np.testing.assert_allclose(np.asarray(b_x), np.asarray(b_plain))
+    np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_plain))
