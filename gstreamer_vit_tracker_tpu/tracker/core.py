@@ -123,7 +123,7 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
            use_pallas: bool | None = None,
            fused: bool | None = None,
            fused_embed: bool = False,
-           fused_prep: bool = False) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+           fused_prep: bool | str = False) -> Tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """Track one frame.  Returns (new_state, bbox_xywh, confidence).
 
     Mirrors ``tracker.update(full_image) -> TrackResult{bbox, score,
@@ -167,12 +167,15 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
             size=jnp.minimum(window.size, float(cfg.preprocess_band)))
     if fused_prep and frame_format == "nv12":
         # Whole preprocess + patch-embed in ONE Pallas kernel
-        # (ops/fused_prep_embed.py); opt-in pending a device A/B.
+        # (ops/fused_prep_embed.py); opt-in pending a device A/B.  True
+        # selects the default patchify formulation; a string ("loop" /
+        # "transpose") pins one for A/B harnesses.
         from ..ops import fused_prep_embed as fpe
 
+        mode = fused_prep if isinstance(fused_prep, str) else "loop"
         y_plane, uv_plane = frame
         x_tok = fpe.nv12_search_tokens(params, y_plane, uv_plane, window,
-                                       cfg)[None]
+                                       cfg, mode=mode)[None]
         maps = vittrack.forward_tokens(params, state.z_tok[None], x_tok, cfg,
                                        use_pallas=use_pallas, fused=fused)
     elif fused_embed:

@@ -48,14 +48,17 @@ def update_scan(params: Params, state: TrackState, frames, cfg: ModelConfig,
     return state, bboxes, scores
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "frame_format", "reps"),
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_format", "reps",
+                                             "fused_prep"),
                    donate_argnums=(1,))
 def update_scan_pool(params: Params, state: TrackState, frames, reps: int,
-                     cfg: ModelConfig, frame_format: str = "nv12"
+                     cfg: ModelConfig, frame_format: str = "nv12",
+                     fused_prep: bool | str = False
                      ) -> Tuple[TrackState, jnp.ndarray]:
     """Benchmark variant: ``reps`` tracked frames cycling through a small
     HBM-resident frame pool by index (no per-frame host involvement at
-    all).  Returns (state, scores (reps,))."""
+    all).  Returns (state, scores (reps,)).  ``fused_prep`` routes the
+    NV12 step through the one-kernel preprocess+embed (core.update)."""
     if frame_format == "nv12":
         pool = frames[0].shape[0]
 
@@ -68,7 +71,8 @@ def update_scan_pool(params: Params, state: TrackState, frames, reps: int,
             return frames[i % pool]
 
     def body(st, i):
-        st, _bbox, conf = core.update(params, st, pick(i), cfg, frame_format)
+        st, _bbox, conf = core.update(params, st, pick(i), cfg, frame_format,
+                                      fused_prep=fused_prep)
         return st, conf
 
     state, scores = jax.lax.scan(body, state, jnp.arange(reps))
