@@ -56,7 +56,35 @@ def main(argv=None) -> int:
     ap.add_argument("--loop-frames", type=int, default=100,
                     help="frames for the per-frame Python-loop latency "
                          "measurement (p50/p99)")
+    ap.add_argument("--init-timeout", type=int, default=240,
+                    help="seconds before declaring the TPU backend "
+                         "unreachable (the dev relay can hang for an hour "
+                         "after a crash; a bench that blocks forever is "
+                         "worse than an error line the driver can record)")
     args = ap.parse_args(argv)
+
+    # Fail fast if the TPU relay is down: backend init then hangs
+    # indefinitely (observed: hours after a relay crash), which would
+    # stall any driver that invokes bench.py.  A daemon watchdog thread
+    # fires even while the main thread is stuck inside the backend's C
+    # init call (network waits release the GIL); os._exit is the only
+    # exit that works from there.
+    import os
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(args.init_timeout):
+            print(json.dumps({
+                "metric": "tracked_fps_per_chip_1080p_nv12", "value": 0.0,
+                "unit": "fps", "vs_baseline": 0.0,
+                "error": f"TPU backend unreachable after "
+                         f"{args.init_timeout}s (relay outage?)"}))
+            sys.stdout.flush()
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
     import jax.numpy as jnp
@@ -64,6 +92,8 @@ def main(argv=None) -> int:
     from gstreamer_vit_tracker_tpu.utils import compile_cache
 
     compile_cache.enable()   # compile each program once per machine
+    jax.devices()            # force backend init under the watchdog
+    init_done.set()
 
     from gstreamer_vit_tracker_tpu.config import ModelConfig
     from gstreamer_vit_tracker_tpu.models import vittrack
@@ -75,8 +105,6 @@ def main(argv=None) -> int:
     # Use the shipped trained flagship weights when available so crop
     # windows and decode behave like production (random weights predict
     # degenerate boxes -> worst-case full-frame windows).
-    import os
-
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets",
                         "weights_vittrack_t_synthetic.npz")
     trained = False
