@@ -1,0 +1,325 @@
+"""Export a trained VitTrack model as a FULL ONNX graph cv2 can run.
+
+The reference consumes OpenCV Zoo's ``object_tracking_vittrack_2023sep``
+model (/root/reference/src/main.rs:25) through the vit_tracker crate, whose
+semantics are OpenCV's ``TrackerVit`` (crop -> two-input net
+["template", "search"] -> conf/size/offset maps -> hanning decode).  Zero
+egress means the real artifact can never be imported here — so this module
+closes the parity loop from the OTHER direction: it exports OUR trained
+checkpoint as an ONNX graph with the same IO contract, which
+``cv2.TrackerVit`` (OpenCV 5) loads and drives with its own crop, blob and
+decode pipeline.  cv2's tracking of our model vs our tracker's is then a
+true cross-implementation parity check (tests/test_export_onnx.py) — every
+semantic the importer direction cannot prove (crop geometry, normalisation,
+map layout, decode) is exercised by the reference implementation itself.
+
+The graph is emitted with the same dependency-free protobuf emitters as
+models/import_onnx.py (no onnx package in this environment).  Ops are kept
+to the conservative dnn-supported set: Conv / MatMul / Add / Mul / Pow /
+Tanh / Sigmoid / Relu / Softmax / Transpose / Reshape / Concat / Slice /
+ReduceMean / Sub / Sqrt / Div.  LayerNorm is decomposed (eps 1e-6, f32);
+GELU uses the tanh approximation to match jax.nn.gelu's default.
+
+Weight-layout conversions mirror import_onnx's in reverse: our
+(P*P*3, D) patch embed becomes a stride-P Conv (D, 3, P, P); our NHWC/HWIO
+head convs become NCHW/OIHW; MatMul kernels pass through ((in, out) —
+ONNX MatMul takes B as-is).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, List, Sequence
+
+import numpy as np
+
+from .import_onnx import (_DTYPE_TO_ONNX, _emit_len, _emit_tag,
+                          _emit_varint)
+
+Params = Dict[str, Any]
+
+__all__ = ["export_vittrack", "build_graph"]
+
+
+def _vint64(v: int) -> bytes:
+    """Varint of a possibly-negative int64 (two's complement, 10 bytes)."""
+    return _emit_varint(v & 0xFFFFFFFFFFFFFFFF)
+
+
+# AttributeProto field numbers / types
+_ATTR_NAME, _ATTR_F, _ATTR_I, _ATTR_S = 1, 2, 3, 4
+_ATTR_FLOATS, _ATTR_INTS, _ATTR_TYPE = 7, 8, 20
+_AT_FLOAT, _AT_INT, _AT_STRING, _AT_FLOATS, _AT_INTS = 1, 2, 3, 6, 7
+
+
+def _attr(name: str, value) -> bytes:
+    a = _emit_len(_ATTR_NAME, name.encode())
+    if isinstance(value, bool):
+        raise TypeError("ambiguous attribute")
+    if isinstance(value, int):
+        a += _emit_tag(_ATTR_I, 0) + _vint64(value)
+        a += _emit_tag(_ATTR_TYPE, 0) + _emit_varint(_AT_INT)
+    elif isinstance(value, float):
+        a += _emit_tag(_ATTR_F, 5) + struct.pack("<f", value)
+        a += _emit_tag(_ATTR_TYPE, 0) + _emit_varint(_AT_FLOAT)
+    elif isinstance(value, str):
+        a += _emit_len(_ATTR_S, value.encode())
+        a += _emit_tag(_ATTR_TYPE, 0) + _emit_varint(_AT_STRING)
+    elif isinstance(value, (list, tuple)) and all(
+            isinstance(v, int) for v in value):
+        for v in value:
+            a += _emit_tag(_ATTR_INTS, 0) + _vint64(v)
+        a += _emit_tag(_ATTR_TYPE, 0) + _emit_varint(_AT_INTS)
+    else:
+        raise TypeError(f"unsupported attribute {name}={value!r}")
+    return a
+
+
+def _tensor_proto(name: str, arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr)
+    t = bytearray()
+    for d in arr.shape:
+        t += _emit_tag(1, 0) + _emit_varint(d)          # dims
+    t += _emit_tag(2, 0) + _emit_varint(_DTYPE_TO_ONNX[arr.dtype])
+    t += _emit_len(8, name.encode())                     # name
+    t += _emit_len(9, arr.tobytes())                     # raw_data
+    return bytes(t)
+
+
+def _value_info(name: str, shape: Sequence[int], elem_type: int = 1) -> bytes:
+    dims = b"".join(_emit_len(1, _emit_tag(1, 0) + _emit_varint(d))
+                    for d in shape)                      # Dimension.dim_value
+    tensor = (_emit_tag(1, 0) + _emit_varint(elem_type)  # elem_type
+              + _emit_len(2, dims))                      # shape
+    return _emit_len(1, name.encode()) + _emit_len(2, _emit_len(1, tensor))
+
+
+class GraphBuilder:
+    """Minimal ONNX GraphProto builder over the raw protobuf emitters."""
+
+    def __init__(self) -> None:
+        self._nodes: List[bytes] = []
+        self._inits: List[bytes] = []
+        self._inputs: List[bytes] = []
+        self._outputs: List[bytes] = []
+        self._n = 0
+
+    def fresh(self, hint: str = "t") -> str:
+        self._n += 1
+        return f"{hint}_{self._n}"
+
+    def init(self, arr: np.ndarray, hint: str = "w") -> str:
+        name = self.fresh(hint)
+        self._inits.append(_tensor_proto(name, np.asarray(arr)))
+        return name
+
+    def const_i64(self, values: Sequence[int], hint: str = "c") -> str:
+        return self.init(np.asarray(values, np.int64), hint)
+
+    def node(self, op: str, inputs: Sequence[str], n_out: int = 1,
+             out_names: Sequence[str] | None = None, **attrs) -> Any:
+        outs = list(out_names) if out_names else [
+            self.fresh(op.lower()) for _ in range(n_out)]
+        n = b"".join(_emit_len(1, i.encode()) for i in inputs)
+        n += b"".join(_emit_len(2, o.encode()) for o in outs)
+        n += _emit_len(3, outs[0].encode())              # node name
+        n += _emit_len(4, op.encode())                   # op_type
+        for k, v in attrs.items():
+            n += _emit_len(5, _attr(k, v))
+        self._nodes.append(n)
+        return outs[0] if len(outs) == 1 else outs
+
+    def input(self, name: str, shape: Sequence[int]) -> str:
+        self._inputs.append(_value_info(name, shape))
+        return name
+
+    def output(self, name: str, shape: Sequence[int]) -> None:
+        self._outputs.append(_value_info(name, shape))
+
+    def build(self, graph_name: str = "vittrack", opset: int = 13) -> bytes:
+        g = _emit_len(2, graph_name.encode())
+        g += b"".join(_emit_len(1, n) for n in self._nodes)
+        g += b"".join(_emit_len(5, t) for t in self._inits)
+        g += b"".join(_emit_len(11, i) for i in self._inputs)
+        g += b"".join(_emit_len(12, o) for o in self._outputs)
+        opset_b = _emit_len(1, b"") + _emit_tag(2, 0) + _emit_varint(opset)
+        model = (_emit_tag(1, 0) + _emit_varint(8)       # ir_version
+                 + _emit_len(2, b"gvt-tpu")              # producer_name
+                 + _emit_len(8, opset_b)                 # opset_import
+                 + _emit_len(7, g))                      # graph
+        return model
+
+
+# ---------------------------------------------------------------------------
+# Model graph
+# ---------------------------------------------------------------------------
+
+def _layer_norm(g: GraphBuilder, x: str, scale: np.ndarray, bias: np.ndarray,
+                eps: float = 1e-6) -> str:
+    # positive axis: (1, N, D) -> 2 (some runtimes reject negative axes)
+    mu = g.node("ReduceMean", [x], axes=[2], keepdims=1)
+    xc = g.node("Sub", [x, mu])
+    var = g.node("ReduceMean", [g.node("Mul", [xc, xc])],
+                 axes=[2], keepdims=1)
+    den = g.node("Sqrt", [g.node("Add", [var, g.init(
+        np.asarray(eps, np.float32), "eps")])])
+    y = g.node("Div", [xc, den])
+    y = g.node("Mul", [y, g.init(np.asarray(scale, np.float32), "ln_s")])
+    return g.node("Add", [y, g.init(np.asarray(bias, np.float32), "ln_b")])
+
+
+def _gelu_tanh(g: GraphBuilder, x: str) -> str:
+    """jax.nn.gelu default (approximate=True):
+    0.5 * x * (1 + tanh(sqrt(2/pi) * (x + 0.044715 x^3)))."""
+    c3 = g.init(np.asarray(0.044715, np.float32), "gelu_c")
+    k = g.init(np.asarray(np.sqrt(2.0 / np.pi), np.float32), "gelu_k")
+    half = g.init(np.asarray(0.5, np.float32), "gelu_h")
+    one = g.init(np.asarray(1.0, np.float32), "gelu_1")
+    x3 = g.node("Mul", [g.node("Mul", [x, x]), x])
+    inner = g.node("Mul", [g.node("Add", [x, g.node("Mul", [x3, c3])]), k])
+    # Clip before Tanh: cv2 5.0 computes tanh via e^{2x}, which overflows
+    # to NaN past x ~ 44 (the cubic reaches that at |x| ~ 13, well inside
+    # trained-activation range).  tanh is +-1-saturated far below 20.
+    inner = g.node("Clip", [inner,
+                            g.init(np.asarray(-20.0, np.float32), "clip_lo"),
+                            g.init(np.asarray(20.0, np.float32), "clip_hi")])
+    t = g.node("Tanh", [inner])
+    return g.node("Mul", [g.node("Mul", [x, half]), g.node("Add", [t, one])])
+
+
+def _linear(g: GraphBuilder, x: str, p: Params, hint: str) -> str:
+    w = g.init(np.asarray(p["kernel"], np.float32), hint + "_w")
+    b = g.init(np.asarray(p["bias"], np.float32), hint + "_b")
+    return g.node("Add", [g.node("MatMul", [x, w]), b])
+
+
+def _slice_last(g: GraphBuilder, x: str, start: int, end: int,
+                axis: int = 2) -> str:
+    return g.node("Slice", [x, g.const_i64([start]), g.const_i64([end]),
+                            g.const_i64([axis])])
+
+
+def _attention(g: GraphBuilder, x: str, num_heads: int, n_tok: int,
+               d: int) -> str:
+    dh = d // num_heads
+    q = _slice_last(g, x, 0, d)
+    k = _slice_last(g, x, d, 2 * d)
+    v = _slice_last(g, x, 2 * d, 3 * d)
+
+    def split(t):                       # (1,N,D) -> (1,h,N,dh)
+        r = g.node("Reshape", [t, g.const_i64([1, n_tok, num_heads, dh])])
+        return g.node("Transpose", [r], perm=[0, 2, 1, 3])
+
+    qh, kh, vh = split(q), split(k), split(v)
+    kt = g.node("Transpose", [kh], perm=[0, 1, 3, 2])
+    scores = g.node("Mul", [g.node("MatMul", [qh, kt]),
+                            g.init(np.asarray(dh ** -0.5, np.float32),
+                                   "attn_scale")])
+    # Explicit max-subtraction: cv2 5.0's graph engine computes Softmax
+    # without the shift, so real-input score magnitudes (~100 on trained
+    # weights) overflow exp() into NaN.  Shift-invariance makes this a
+    # no-op semantically.
+    smax = g.node("ReduceMax", [scores], axes=[3], keepdims=1)
+    scores = g.node("Sub", [scores, smax])
+    p = g.node("Softmax", [scores], axis=3)
+    o = g.node("MatMul", [p, vh])                        # (1,h,N,dh)
+    o = g.node("Transpose", [o], perm=[0, 2, 1, 3])
+    return g.node("Reshape", [o, g.const_i64([1, n_tok, d])])
+
+
+def _block(g: GraphBuilder, x: str, bp: Params, num_heads: int, n_tok: int,
+           d: int) -> str:
+    h = _layer_norm(g, x, bp["ln1"]["scale"], bp["ln1"]["bias"])
+    qkv = _linear(g, h, bp["qkv"], "qkv")
+    attn = _attention(g, qkv, num_heads, n_tok, d)
+    x = g.node("Add", [x, _linear(g, attn, bp["proj"], "proj")])
+    h = _layer_norm(g, x, bp["ln2"]["scale"], bp["ln2"]["bias"])
+    h = _gelu_tanh(g, _linear(g, h, bp["mlp1"], "mlp1"))
+    return g.node("Add", [x, _linear(g, h, bp["mlp2"], "mlp2")])
+
+
+def _patch_embed_conv(g: GraphBuilder, img: str, pe: Params, pos: np.ndarray,
+                      patch: int, d: int, grid: int, hint: str) -> str:
+    """NCHW image -> (1, N, D) tokens + positional embedding.
+
+    Our (P*P*3, D) kernel with k = (p, q, c) c-fastest becomes an OIHW
+    Conv kernel W[d, c, p, q] (stride P, no pad)."""
+    kern = np.asarray(pe["kernel"], np.float32)          # (P*P*3, D)
+    w = kern.reshape(patch, patch, 3, d).transpose(3, 2, 0, 1)
+    conv = g.node("Conv", [img, g.init(np.ascontiguousarray(w), hint + "_w"),
+                           g.init(np.asarray(pe["bias"], np.float32),
+                                  hint + "_b")],
+                  kernel_shape=[patch, patch], strides=[patch, patch],
+                  pads=[0, 0, 0, 0])                     # (1, D, g, g)
+    flat = g.node("Reshape", [conv, g.const_i64([1, d, grid * grid])])
+    tok = g.node("Transpose", [flat], perm=[0, 2, 1])    # (1, N, D)
+    return g.node("Add", [tok, g.init(
+        np.asarray(pos, np.float32)[None], hint + "_pos")])
+
+
+def _conv_tower(g: GraphBuilder, x: str, layers, hint: str) -> str:
+    """NCHW feature map through 3x3-SAME/ReLU tower + final 1x1 (our
+    NHWC/HWIO kernels converted to OIHW)."""
+    for i, layer in enumerate(layers):
+        kern = np.asarray(layer["kernel"], np.float32)   # (kh,kw,I,O)
+        w = np.ascontiguousarray(kern.transpose(3, 2, 0, 1))
+        kh, kw = kern.shape[0], kern.shape[1]
+        pad = kh // 2
+        x = g.node("Conv", [x, g.init(w, f"{hint}{i}_w"),
+                            g.init(np.asarray(layer["bias"], np.float32),
+                                   f"{hint}{i}_b")],
+                   kernel_shape=[kh, kw], strides=[1, 1],
+                   pads=[pad, pad, pad, pad])
+        if i < len(layers) - 1:
+            x = g.node("Relu", [x])
+    return x
+
+
+def build_graph(params: Params, cfg,
+                output_order=("conf", "size", "offset")) -> bytes:
+    """Build the full two-input tracking graph; returns ONNX model bytes."""
+    bb = params["backbone"]
+    d = cfg.embed_dim
+    gz = cfg.template_size // cfg.patch_size
+    gx = cfg.search_size // cfg.patch_size
+    nz, nx = gz * gz, gx * gx
+    fs = cfg.feat_size
+
+    g = GraphBuilder()
+    z_in = g.input("template", [1, 3, cfg.template_size, cfg.template_size])
+    x_in = g.input("search", [1, 3, cfg.search_size, cfg.search_size])
+
+    z_tok = _patch_embed_conv(g, z_in, bb["patch_embed"], bb["pos_embed_z"],
+                              cfg.patch_size, d, gz, "pe_z")
+    x_tok = _patch_embed_conv(g, x_in, bb["patch_embed"], bb["pos_embed_x"],
+                              cfg.patch_size, d, gx, "pe_x")
+    x = g.node("Concat", [z_tok, x_tok], axis=1)         # (1, Nz+Nx, D)
+    for bp in bb["blocks"]:
+        x = _block(g, x, bp, cfg.num_heads, nz + nx, d)
+    x = _layer_norm(g, x, bb["norm"]["scale"], bb["norm"]["bias"])
+    x = g.node("Slice", [x, g.const_i64([nz]), g.const_i64([nz + nx]),
+                         g.const_i64([1])])              # search tokens
+    fmap = g.node("Reshape", [x, g.const_i64([1, fs, fs, d])])
+    fmap = g.node("Transpose", [fmap], perm=[0, 3, 1, 2])  # NCHW
+
+    head = params["head"]
+    towers = {"conf": head["score"], "offset": head["offset"],
+              "size": head["size"]}
+    chans = {"conf": 1, "offset": 2, "size": 2}
+    # cv2::TrackerVit requests outputs BY NAME: "output1/2/3"; the map
+    # each name carries is output_order's business (the real zoo export's
+    # assignment, pinned by the end-to-end test).
+    for i, which in enumerate(output_order):
+        out_name = f"output{i + 1}"
+        g.node("Sigmoid", [_conv_tower(g, fmap, towers[which], which)],
+               out_names=[out_name])
+        g.output(out_name, [1, chans[which], fs, fs])
+    return g.build()
+
+
+def export_vittrack(params: Params, cfg, path: str,
+                    output_order=("conf", "size", "offset")) -> str:
+    """Write the exported model; returns ``path``."""
+    with open(path, "wb") as f:
+        f.write(build_graph(params, cfg, output_order))
+    return path

@@ -1,0 +1,55 @@
+"""Export a trained checkpoint as a cv2.TrackerVit-compatible ONNX graph.
+
+    python scripts/export_vittrack_onnx.py --checkpoint \\
+        assets/weights_vittrack_t_synthetic.npz --out vittrack_ours.onnx
+
+The exported file has the OpenCV-Zoo VitTrack IO contract (two inputs
+"template"/"search", outputs "output1/2/3" = conf/size/offset maps), so
+OpenCV 5's cv2.TrackerVit loads and drives it directly:
+
+    p = cv2.TrackerVit_Params(); p.net = "vittrack_ours.onnx"
+    tracker = cv2.TrackerVit_create(p)
+
+This is the reverse of scripts/import_vittrack_onnx.py and the
+cross-implementation parity proof (tests/test_export_onnx.py): OpenCV's
+own crop/normalize/decode pipeline tracking with our weights matches our
+tracker.  NOTE: cv2's TrackerVit crops are sized for the zoo model
+(template 128, search 256) — export presets with other input sizes run
+under cv2.dnn but not under cv2.TrackerVit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--out", default="vittrack_export.onnx")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")   # pure host-side conversion
+
+    from gstreamer_vit_tracker_tpu.config import ModelConfig
+    from gstreamer_vit_tracker_tpu.models import export_onnx, vittrack, weights
+
+    cfg = ModelConfig(dtype="float32")
+    params = weights.load_npz(
+        args.checkpoint, vittrack.init_params(jax.random.PRNGKey(0), cfg))
+    export_onnx.export_vittrack(params, cfg, args.out)
+    print(f"exported {args.out} "
+          f"({os.path.getsize(args.out) / 1e6:.1f} MB, "
+          f"inputs template/search, outputs output1/2/3 = conf/size/offset)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
