@@ -116,6 +116,30 @@ def run_sequence(upd, params, cfg, src, frames: int):
     return np.asarray(rows)
 
 
+def run_sequence_cv2(onnx_path: str, src, frames: int):
+    """Reference-implementation baseline: OpenCV's own TrackerVit tracking
+    our exported model (models/export_onnx.py) over the same scenario.
+    Stock VitTrack semantics — no window freeze, no re-detection ramp — so
+    the delta vs our tracker on the occlusion scenario is exactly the
+    value of the recovery machinery."""
+    import cv2
+
+    p = cv2.TrackerVit_Params()
+    p.net = onnx_path
+    tracker = cv2.TrackerVit_create(p)
+    tracker.init(np.asarray(src.frame_rgb(0)),
+                 tuple(int(v) for v in src.bbox_at(0)))
+    rows = []
+    for i in range(1, frames + 1):
+        _ok, box = tracker.update(np.asarray(src.frame_rgb(i)))
+        vis = (src.visible_frac_at(i)
+               if hasattr(src, "visible_frac_at") else 1.0)
+        rows.append((iou(np.asarray(box, np.float64),
+                         np.asarray(src.bbox_at(i))),
+                     float(tracker.getTrackingScore()), vis))
+    return np.asarray(rows)
+
+
 def summarize(scenario: str, rows: np.ndarray, thr: float) -> dict:
     """Scenario-aware metrics from (N, 3) [iou, conf, visible] rows."""
     visible = rows[:, 2] >= 0.7
@@ -174,6 +198,11 @@ def main(argv=None) -> int:
                     help="run on the CPU backend (slow but immune to relay "
                          "outages; compile cache stays off — see "
                          "utils/compile_cache.enable)")
+    ap.add_argument("--tracker", choices=("ours", "cv2"), default="ours",
+                    help="'cv2' runs OpenCV's TrackerVit on the checkpoint "
+                         "exported via models/export_onnx.py — the "
+                         "reference-implementation baseline (flagship "
+                         "preset only: cv2 crops at fixed 128/256)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -213,6 +242,15 @@ def main(argv=None) -> int:
               f"coverage {np.mean(covers):.3f}")
         return 0
 
+    if args.tracker == "cv2":
+        import tempfile
+
+        from gstreamer_vit_tracker_tpu.models import export_onnx
+
+        onnx_path = tempfile.mktemp(suffix=".onnx", prefix="gvt_eval_")
+        export_onnx.export_vittrack(params, cfg, onnx_path)
+        print(f"cv2.TrackerVit baseline on exported {onnx_path}")
+
     upd = jax.jit(lambda p, s, f: core.update(p, s, f, cfg))
     scenarios = SCENARIOS if args.scenario == "all" else (args.scenario,)
     summary = {}
@@ -221,7 +259,10 @@ def main(argv=None) -> int:
         all_rows = []
         for seq in range(args.seqs):
             src = make_source(scenario, seq, args)
-            rows = run_sequence(upd, params, cfg, src, args.frames)
+            if args.tracker == "cv2":
+                rows = run_sequence_cv2(onnx_path, src, args.frames)
+            else:
+                rows = run_sequence(upd, params, cfg, src, args.frames)
             all_rows.append(rows)
             s = summarize(scenario, rows, 0.25)
             extra = "".join(
