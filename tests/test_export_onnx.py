@@ -10,7 +10,11 @@ Agreement between cv2's trajectory and ours pins every semantic the
 import direction cannot: crop geometry, normalisation, map layout and
 channel order, decode.  (Residual per-step deviation is cv2's integer
 crop/Rect quantisation — measured ~0.88 single-step IoU agreement with
-identical inits; it does not compound: 60-frame trajectories stay ~0.84.)
+identical inits; it does not compound: 60-frame trajectories stay ~0.84,
+400-frame 0.851.  That is AT the comparison's noise floor: cv2's
+SELF-agreement across a 1-pixel init shift is 0.830 over the same clip —
+the cross-implementation match is as tight as cv2's own sensitivity
+allows measuring.)
 """
 
 import os
