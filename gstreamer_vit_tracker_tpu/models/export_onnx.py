@@ -276,8 +276,26 @@ def _conv_tower(g: GraphBuilder, x: str, layers, hint: str) -> str:
 
 
 def build_graph(params: Params, cfg,
-                output_order=("conf", "size", "offset")) -> bytes:
-    """Build the full two-input tracking graph; returns ONNX model bytes."""
+                output_order=("conf", "size", "offset"),
+                input_transform: str = "standard") -> bytes:
+    """Build the full two-input tracking graph; returns ONNX model bytes.
+
+    ``input_transform``:
+
+    * ``"standard"`` — inputs are correctly normalised crops
+      ((x/255 - mean_c)/std_c per channel), the documented zoo contract.
+    * ``"cv2-5.0"`` — compensate OpenCV 5.0's TrackerVit blob quirk,
+      measured empirically with spy graphs (channel-pooling nets driven
+      through TrackerVit itself): cv2 feeds
+      ch0 = (x0/255 - mean0)/SUM(std) but ch1/2 SIGN-FLIPPED,
+      ch_c = (mean_c - x_c/255)/SUM(std).  Per-channel means are intact
+      and the scale is the shared std-sum, so one zero-bias per-channel
+      Mul ((S/s0, -S/s1, -S/s2), S = sum(std)) restores the trained
+      distribution exactly.  Without it, high-contrast targets still
+      track (LayerNorm absorbs input-affine error) but low-contrast
+      (held-out) targets collapse — the real zoo model suffers the same
+      quirk under cv2 5.0.
+    """
     bb = params["backbone"]
     d = cfg.embed_dim
     gz = cfg.template_size // cfg.patch_size
@@ -288,6 +306,15 @@ def build_graph(params: Params, cfg,
     g = GraphBuilder()
     z_in = g.input("template", [1, 3, cfg.template_size, cfg.template_size])
     x_in = g.input("search", [1, 3, cfg.search_size, cfg.search_size])
+    if input_transform == "cv2-5.0":
+        s = np.asarray(cfg.norm_std, np.float32)
+        ssum = float(s.sum())
+        comp = np.asarray([ssum / s[0], -ssum / s[1], -ssum / s[2]],
+                          np.float32).reshape(1, 3, 1, 1)
+        z_in = g.node("Mul", [z_in, g.init(comp, "cv2comp")])
+        x_in = g.node("Mul", [x_in, g.init(comp, "cv2comp")])
+    elif input_transform != "standard":
+        raise ValueError(f"unknown input_transform {input_transform!r}")
 
     z_tok = _patch_embed_conv(g, z_in, bb["patch_embed"], bb["pos_embed_z"],
                               cfg.patch_size, d, gz, "pe_z")
@@ -318,8 +345,9 @@ def build_graph(params: Params, cfg,
 
 
 def export_vittrack(params: Params, cfg, path: str,
-                    output_order=("conf", "size", "offset")) -> str:
+                    output_order=("conf", "size", "offset"),
+                    input_transform: str = "standard") -> str:
     """Write the exported model; returns ``path``."""
     with open(path, "wb") as f:
-        f.write(build_graph(params, cfg, output_order))
+        f.write(build_graph(params, cfg, output_order, input_transform))
     return path

@@ -248,7 +248,8 @@ def main(argv=None) -> int:
         from gstreamer_vit_tracker_tpu.models import export_onnx
 
         onnx_path = tempfile.mktemp(suffix=".onnx", prefix="gvt_eval_")
-        export_onnx.export_vittrack(params, cfg, onnx_path)
+        export_onnx.export_vittrack(params, cfg, onnx_path,
+                                    input_transform="cv2-5.0")
         print(f"cv2.TrackerVit baseline on exported {onnx_path}")
 
     upd = jax.jit(lambda p, s, f: core.update(p, s, f, cfg))

@@ -32,6 +32,13 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--out", default="vittrack_export.onnx")
+    ap.add_argument("--target", default="standard",
+                    choices=("standard", "cv2-5.0"),
+                    help="'cv2-5.0' bakes in the inverse of OpenCV 5.0 "
+                         "TrackerVit's blob quirk (sign-flipped ch1/2, "
+                         "shared std-sum scale) so cv2's own pipeline "
+                         "feeds the net the trained distribution — use "
+                         "it for files driven by cv2.TrackerVit")
     args = ap.parse_args(argv)
 
     import jax
@@ -44,7 +51,8 @@ def main(argv=None) -> int:
     cfg = ModelConfig(dtype="float32")
     params = weights.load_npz(
         args.checkpoint, vittrack.init_params(jax.random.PRNGKey(0), cfg))
-    export_onnx.export_vittrack(params, cfg, args.out)
+    export_onnx.export_vittrack(params, cfg, args.out,
+                                input_transform=args.target)
     print(f"exported {args.out} "
           f"({os.path.getsize(args.out) / 1e6:.1f} MB, "
           f"inputs template/search, outputs output1/2/3 = conf/size/offset)")

@@ -8,13 +8,15 @@ the zoo model's IO contract, and OpenCV's OWN pipeline (getSubwindow crop,
 blob normalisation, forward, hanning decode, Rect output) tracks with it.
 Agreement between cv2's trajectory and ours pins every semantic the
 import direction cannot: crop geometry, normalisation, map layout and
-channel order, decode.  (Residual per-step deviation is cv2's integer
-crop/Rect quantisation — measured ~0.88 single-step IoU agreement with
-identical inits; it does not compound: 60-frame trajectories stay ~0.84,
-400-frame 0.851.  That is AT the comparison's noise floor: cv2's
-SELF-agreement across a 1-pixel init shift is 0.830 over the same clip —
-the cross-implementation match is as tight as cv2's own sensitivity
-allows measuring.)
+channel order, decode.
+
+cv2 5.0's TrackerVit feeds the net a QUIRKED blob (measured with spy
+graphs driven through TrackerVit itself: ch0 = (x0/255 - mean0)/SUM(std)
+but ch1/2 sign-flipped) — high-contrast targets survive it (LayerNorm
+absorbs input-affine error) at ~0.84 trajectory agreement, low-contrast
+held-out targets collapse.  The cv2-5.0 export target bakes in the exact
+inverse, after which agreement is ~0.95 and held-out content tracks
+under cv2 too; the residual is cv2's integer crop/Rect quantisation.
 """
 
 import os
@@ -56,6 +58,17 @@ def flagship():
 def onnx_path(flagship, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("export") / "vittrack.onnx")
     export_onnx.export_vittrack(flagship, CFG, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def onnx_cv2_path(flagship, tmp_path_factory):
+    """cv2-5.0-targeted export: compensates TrackerVit's measured blob
+    quirk (sign-flipped ch1/2, shared std-sum scale) so cv2's pipeline
+    feeds the trained distribution."""
+    path = str(tmp_path_factory.mktemp("export") / "vittrack_cv2.onnx")
+    export_onnx.export_vittrack(flagship, CFG, path,
+                                input_transform="cv2-5.0")
     return path
 
 
@@ -108,16 +121,18 @@ def test_no_nan_on_real_crops(flagship, onnx_path):
 
 
 @pytest.mark.slow
-def test_cv2_trackervit_tracks_our_model(flagship, onnx_path):
+def test_cv2_trackervit_tracks_our_model(flagship, onnx_cv2_path):
     """THE cross-implementation gate: OpenCV's TrackerVit (its own crop,
     blob, forward and hanning decode) tracks with our exported weights and
-    agrees with our tracker's trajectory."""
+    agrees with our tracker's trajectory.  With the cv2-5.0 blob-quirk
+    compensation baked in, agreement is ~0.95 (residual = cv2's integer
+    crop/Rect quantisation)."""
     src = SyntheticSource(640, 512, obj_size=48, seed=5, speed=3.0)
     frames = [np.asarray(src.frame_rgb(i)) for i in range(31)]
     gts = [src.bbox_at(i) for i in range(31)]
 
     p = cv2.TrackerVit_Params()
-    p.net = onnx_path
+    p.net = onnx_cv2_path
     tracker = cv2.TrackerVit_create(p)
     tracker.init(frames[0], tuple(int(v) for v in gts[0]))
 
@@ -132,7 +147,7 @@ def test_cv2_trackervit_tracks_our_model(flagship, onnx_path):
         vs_gt.append(iou(box, gts[i]))
         vs_ours.append(iou(box, np.asarray(bb)))
         scores.append(tracker.getTrackingScore())
-    assert np.mean(vs_gt) > 0.7, f"cv2-vs-gt {np.mean(vs_gt):.3f}"
-    assert np.mean(vs_ours) > 0.7, f"cv2-vs-ours {np.mean(vs_ours):.3f}"
-    assert np.mean(scores) > 0.8
-    assert min(vs_ours) > 0.5           # never diverges from our track
+    assert np.mean(vs_gt) > 0.85, f"cv2-vs-gt {np.mean(vs_gt):.3f}"
+    assert np.mean(vs_ours) > 0.85, f"cv2-vs-ours {np.mean(vs_ours):.3f}"
+    assert np.mean(scores) > 0.85
+    assert min(vs_ours) > 0.6           # never diverges from our track
