@@ -40,8 +40,6 @@ from gstreamer_vit_tracker_tpu.train import (create_train_state, data,
 from gstreamer_vit_tracker_tpu.train.step import make_optimizer
 from gstreamer_vit_tracker_tpu.utils import compile_cache
 
-compile_cache.enable()
-
 PRESETS = {
     # Small conv-head model trainable in minutes.
     "small": ModelConfig(template_size=64, search_size=128, patch_size=16,
@@ -78,6 +76,9 @@ def main(argv=None) -> int:
                          "machine's 0.25 threshold depends on)")
     ap.add_argument("--refresh-every", type=int, default=0,
                     help="regenerate the dataset every N steps (0: never)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="train on the CPU backend (slow; short fine-tunes "
+                         "only — useful during relay outages)")
     ap.add_argument("--log-every", type=int, default=100,
                     help="steps per scanned chunk / log line")
     ap.add_argument("--save-every", type=int, default=1000,
@@ -86,6 +87,11 @@ def main(argv=None) -> int:
     ap.add_argument("--save-fp16", action="store_true",
                     help="save the checkpoint as float16 (half size)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        compile_cache.enable()
     warmup = args.steps // 20 if args.warmup < 0 else args.warmup
 
     # Train in f32 regardless of the serving dtype: bf16 training of these
