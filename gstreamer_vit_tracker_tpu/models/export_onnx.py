@@ -15,10 +15,11 @@ map layout, decode) is exercised by the reference implementation itself.
 
 The graph is emitted with the same dependency-free protobuf emitters as
 models/import_onnx.py (no onnx package in this environment).  Ops are kept
-to the conservative dnn-supported set: Conv / MatMul / Add / Mul / Pow /
-Tanh / Sigmoid / Relu / Softmax / Transpose / Reshape / Concat / Slice /
-ReduceMean / Sub / Sqrt / Div.  LayerNorm is decomposed (eps 1e-6, f32);
-GELU uses the tanh approximation to match jax.nn.gelu's default.
+to the conservative dnn-supported set: Conv / MatMul / Add / Sub / Mul /
+Div / Sqrt / Tanh / Clip / Sigmoid / Relu / Softmax / Transpose /
+Reshape / Concat / Slice / ReduceMean / ReduceMax.  LayerNorm is
+decomposed (eps 1e-6, f32); GELU uses the tanh approximation to match
+jax.nn.gelu's default, with its tanh argument clipped (NaN guard).
 
 Weight-layout conversions mirror import_onnx's in reverse: our
 (P*P*3, D) patch embed becomes a stride-P Conv (D, 3, P, P); our NHWC/HWIO

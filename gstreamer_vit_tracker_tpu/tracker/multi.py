@@ -90,7 +90,13 @@ def _suppress_duplicates(new: TrackState, old: TrackState,
     new = new._replace(
         bbox=jnp.where(loser[:, None], old.bbox, new.bbox),
         score=jnp.where(loser, 0.0, new.score),
-        lost_frames=jnp.where(loser, old.lost_frames + 1, new.lost_frames))
+        lost_frames=jnp.where(loser, old.lost_frames + 1, new.lost_frames),
+        # The loser's measurement is the RIVAL's target, so an online
+        # template update that ran this frame (core.update's
+        # _maybe_update_template fires before suppression) would have
+        # blended the rival's appearance into the loser's template —
+        # poisoning the very re-detection this mechanism enables.  Revert.
+        z_tok=jnp.where(loser[:, None, None], old.z_tok, new.z_tok))
     return new, bboxes, scores
 
 

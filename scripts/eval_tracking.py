@@ -23,6 +23,7 @@ Reports per-sequence mean/min IoU and mean confidence.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -212,6 +213,13 @@ def main(argv=None) -> int:
     else:
         compile_cache.enable()
 
+    if args.tracker == "cv2" and args.objects > 1:
+        # Must precede the multi-object branch: it returns early and would
+        # otherwise silently report OUR numbers as the cv2 baseline.
+        print("--tracker cv2 is single-object only (cv2.TrackerVit has "
+              "no batched mode); drop --objects", file=sys.stderr)
+        return 2
+
     cfg = PRESETS[args.preset]
     params = vittrack.init_params(jax.random.PRNGKey(0), cfg)
     if args.checkpoint:
@@ -243,11 +251,21 @@ def main(argv=None) -> int:
         return 0
 
     if args.tracker == "cv2":
+        import atexit
         import tempfile
 
         from gstreamer_vit_tracker_tpu.models import export_onnx
 
-        onnx_path = tempfile.mktemp(suffix=".onnx", prefix="gvt_eval_")
+        if (cfg.template_size, cfg.search_size, cfg.head_mode) != \
+                (128, 256, "conv"):
+            print("--tracker cv2 requires the flagship preset: "
+                  "cv2.TrackerVit crops at fixed 128/256 and needs the "
+                  "conv head (use --preset vittrack-t)", file=sys.stderr)
+            return 2
+        fd, onnx_path = tempfile.mkstemp(suffix=".onnx", prefix="gvt_eval_")
+        os.close(fd)
+        atexit.register(lambda: os.path.exists(onnx_path)
+                        and os.unlink(onnx_path))
         export_onnx.export_vittrack(params, cfg, onnx_path,
                                     input_transform="cv2-5.0")
         print(f"cv2.TrackerVit baseline on exported {onnx_path}")

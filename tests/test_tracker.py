@@ -224,3 +224,28 @@ def test_exclusive_leaves_separated_targets_alone(corr_params):
         corr_params, st, frame1, active, CORR, exclusive=True)
     np.testing.assert_allclose(np.asarray(b_x), np.asarray(b_plain))
     np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_plain))
+
+
+def test_exclusive_loser_template_not_contaminated(corr_params):
+    """A suppressed duplicate must keep its pre-update template: the online
+    template update runs before suppression and would otherwise blend the
+    RIVAL target's appearance into the loser's z_tok, poisoning the
+    re-detection the mechanism exists to enable."""
+    cfg = dataclasses.replace(CORR, template_update_enabled=True,
+                              template_update_interval=1,
+                              template_update_threshold=0.0)
+    src = SyntheticSource(320, 256, obj_size=48, seed=3)
+    frame0 = jnp.asarray(src.frame_rgb(0))
+    bb = src.bbox_at(0)
+    st = multi.init_objects(corr_params, frame0, jnp.asarray([bb, bb]), cfg)
+    active = jnp.ones((2,), bool)
+    frame1 = jnp.asarray(src.frame_rgb(1))
+    _, _, s_plain = multi.update_objects(corr_params, st, frame1, active, cfg)
+    loser = 1 if float(s_plain[0]) >= float(s_plain[1]) else 0
+    st_x, _, _ = multi.update_objects(corr_params, st, frame1, active, cfg,
+                                      exclusive=True)
+    np.testing.assert_array_equal(np.asarray(st_x.z_tok[loser]),
+                                  np.asarray(st.z_tok[loser]))
+    # the winner's template DID update (interval 1, threshold 0)
+    assert not np.array_equal(np.asarray(st_x.z_tok[1 - loser]),
+                              np.asarray(st.z_tok[1 - loser]))
