@@ -68,3 +68,21 @@ def test_argparser_defaults_and_presets():
     assert args.fmt == "nv12" and args.headless and args.frames == 10
     with pytest.raises(SystemExit):
         build_argparser().parse_args(["--format", "bogus"])
+
+
+def test_headless_multi_object_exclusive_runs():
+    """The full headless app path with --objects 3 --exclusive: slots land
+    on the primary + two distractors (distinct targets, so suppression
+    stays quiet) and the batched-exclusive update program compiles and
+    tracks in-app."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "gstreamer_vit_tracker_tpu.app.main",
+         "--headless", "--cpu", "--model", "corr-tiny", "--width", "320",
+         "--height", "256", "--frames", "25", "--no-pace",
+         "--objects", "3", "--exclusive"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "TRACKING 3 OF 3" in proc.stdout, proc.stdout
