@@ -229,13 +229,28 @@ def main(argv=None) -> int:
     if args.objects > 1:
         # Multi-object mode: every rendered patch (primary + lookalike
         # distractors) is a ground-truthed target for the batched step.
+        # Composes with the hard scenarios (occlusion sweeps over /
+        # scale-ramps the PRIMARY target; per-slot Lost machinery must
+        # isolate the affected slot).
         n = args.objects
-        print(f"--- multi-object: {n} targets/frame (batched step)")
+        scen = args.scenario if args.scenario != "all" else "basic"
+        extra = {}
+        if scen == "scale":
+            extra = dict(scale_range=(0.5, 2.0), scale_period=args.frames)
+        elif scen == "occlusion":
+            extra = dict(occlusion=(200, 41))
+        elif scen == "heldout":
+            print("--objects does not compose with the heldout world "
+                  "(HeldoutSource has no distractors)", file=sys.stderr)
+            return 2
+        print(f"--- multi-object: {n} targets/frame (batched step), "
+              f"scenario {scen}")
         per_obj, covers = [], []
         for seq in range(args.seqs):
             src = SyntheticSource(args.width, args.height,
                                   obj_size=40 + 8 * seq, seed=seq,
-                                  speed=args.speed, n_distractors=n - 1)
+                                  speed=args.speed, n_distractors=n - 1,
+                                  **extra)
             mi, mc, cov = run_sequence_multi(params, cfg, src, args.frames,
                                              n, exclusive=args.exclusive)
             per_obj.append(mi)
