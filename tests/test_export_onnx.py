@@ -151,3 +151,30 @@ def test_cv2_trackervit_tracks_our_model(flagship, onnx_cv2_path):
     assert np.mean(vs_ours) > 0.85, f"cv2-vs-ours {np.mean(vs_ours):.3f}"
     assert np.mean(scores) > 0.85
     assert min(vs_ours) > 0.6           # never diverges from our track
+
+
+def test_small_preset_export_runs_under_dnn():
+    """Non-flagship presets export and run under plain cv2.dnn (TrackerVit
+    itself needs 128/256 crops, but the graph is preset-generic)."""
+    small = ModelConfig(template_size=64, search_size=128, patch_size=16,
+                        embed_dim=96, depth=4, num_heads=2, dtype="float32")
+    params = vittrack.init_params(jax.random.PRNGKey(7), small)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "small.onnx")
+        export_onnx.export_vittrack(params, small, path)
+        net = cv2.dnn.readNetFromONNX(path)
+        rng = np.random.default_rng(0)
+        z = rng.normal(0, 1, (1, 3, 64, 64)).astype(np.float32)
+        x = rng.normal(0, 1, (1, 3, 128, 128)).astype(np.float32)
+        net.setInput(z, "template")
+        net.setInput(x, "search")
+        conf, size, off = net.forward(["output1", "output2", "output3"])
+        z_tok = vittrack.embed_template(
+            params, jnp.asarray(z.transpose(0, 2, 3, 1)), small)
+        maps = vittrack.forward(params, z_tok,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)), small,
+                                use_pallas=False, fused=False)
+        np.testing.assert_allclose(conf[0, 0], np.asarray(maps.score[0]),
+                                   atol=1e-4)
