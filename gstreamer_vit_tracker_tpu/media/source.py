@@ -562,13 +562,44 @@ class FileSource:
     ``.npz``  — NV12 plane stacks: arrays ``y`` (N, H, W) and ``uv``
                 (N, H/2, W/2, 2).
     ``.npy``  — RGB stack (N, H, W, 3) uint8.
+    ``.mp4/.avi/.mkv/.mov/.webm`` — compressed containers decoded through
+                OpenCV's VideoCapture when cv2 is importable (the reference
+                consumes live camera video, /root/reference/src/pipeline_ir.rs:21-41;
+                this covers its recorded-clip analog without any new
+                dependency).  Frames come back RGB; decode is sequential
+                with a cursor — random back-seeks reopen the file.
     """
+
+    _CV2_EXTS = (".mp4", ".avi", ".mkv", ".mov", ".webm")
 
     def __init__(self, path: str, fps: int = 60, loop: bool = False):
         self.fps = fps
         self.loop = loop
         self._y4m = None
-        if path.endswith(".y4m"):
+        self._cap = None
+        if path.lower().endswith(self._CV2_EXTS):
+            try:
+                import cv2
+            except ImportError as e:
+                raise RuntimeError(
+                    f"reading {path!r} needs OpenCV (cv2) for decode; "
+                    "convert to .y4m (ffmpeg -i clip.mp4 clip.y4m) for the "
+                    "dependency-free path") from e
+            self._cv2 = cv2
+            self._path = path
+            cap = cv2.VideoCapture(path)
+            if not cap.isOpened():
+                raise RuntimeError(f"cv2 could not open video {path!r}")
+            self._cap = cap
+            self._cursor = 0
+            self.fmt = "rgb"
+            self.num_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            file_fps = cap.get(cv2.CAP_PROP_FPS)
+            if file_fps and file_fps > 0:
+                self.fps = file_fps
+        elif path.endswith(".y4m"):
             from .y4m import Y4MReader
 
             self._y4m = Y4MReader(path)
@@ -592,11 +623,27 @@ class FileSource:
     def frame(self, i: int):
         if self.loop:
             i = i % self.num_frames
+        if self._cap is not None:
+            return self._frame_cv2(i)
         if self._y4m is not None:
             return self._y4m.frame_nv12(i)
         if self.fmt == "rgb":
             return self._frames[i]
         return self._y[i], self._uv[i]
+
+    def _frame_cv2(self, i: int):
+        if i < self._cursor:            # back-seek: reopen from the start
+            self._cap.release()
+            self._cap = self._cv2.VideoCapture(self._path)
+            self._cursor = 0
+        while self._cursor < i:         # skip forward without decoding
+            self._cap.grab()
+            self._cursor += 1
+        ok, bgr = self._cap.read()
+        if not ok:
+            raise IndexError(f"frame {i} past end of {self._path!r}")
+        self._cursor = i + 1
+        return np.ascontiguousarray(bgr[..., ::-1])  # BGR -> RGB
 
     def __iter__(self) -> Iterator:
         i = 0

@@ -161,3 +161,38 @@ def test_y4m_tracking_end_to_end(tmp_path):
                                      frame_format="nv12")
     assert np.isfinite(np.asarray(bbox)).all()
     assert np.isfinite(float(conf))
+
+
+def test_filesource_cv2_container(tmp_path):
+    """Compressed containers (.avi MJPG here) decode through FileSource's
+    cv2 path: sequential reads, forward skip, back-seek reopen, loop."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48))
+    assert w.isOpened()
+    rng = np.random.default_rng(3)
+    frames = []
+    for i in range(8):
+        # Flat per-frame color: MJPG is lossy, flat blocks survive intact.
+        fr = np.full((48, 64, 3), rng.integers(30, 220, size=3), np.uint8)
+        frames.append(fr)
+        w.write(fr[..., ::-1])          # writer takes BGR
+    w.release()
+
+    fs = FileSource(path)
+    assert (fs.width, fs.height, fs.fmt) == (64, 48, "rgb")
+    assert fs.num_frames == 8
+    assert fs.fps == pytest.approx(30.0)
+
+    def close(a, b):
+        return np.max(np.abs(a.astype(int) - b.astype(int))) <= 12
+
+    assert close(fs.frame(0), frames[0])
+    assert close(fs.frame(3), frames[3])        # forward skip via grab()
+    assert close(fs.frame(1), frames[1])        # back-seek reopens
+    it = iter(FileSource(path))
+    got = [next(it) for _ in range(8)]
+    assert all(close(g, f) for g, f in zip(got, frames))
+
+    looped = FileSource(path, loop=True)
+    assert close(looped.frame(9), frames[1])
