@@ -195,9 +195,13 @@ class MultiSink:
 class FileSink:
     """Records frames to a file: ``.y4m`` paths stream YUV4MPEG2 raw video
     frame by frame (playable anywhere: ``ffplay out.y4m``; media/y4m.py),
-    anything else collects an (N, H, W, 3) uint8 .npy written on close."""
+    ``.mp4/.avi/.mkv/.mov`` stream through cv2's VideoWriter when cv2 is
+    importable (MJPG for .avi, mp4v otherwise), anything else collects an
+    (N, H, W, 3) uint8 .npy written on close."""
 
     wants_host_pixels = True   # write() snapshots pixels; callers fetch
+
+    _CV2_EXTS = (".mp4", ".avi", ".mkv", ".mov")
 
     def __init__(self, path: str, max_frames: int = 10_000,
                  fps: float = 30.0):
@@ -205,16 +209,45 @@ class FileSink:
         self.max_frames = max_frames
         self._frames: List[np.ndarray] = []
         self._y4m = None
+        self._vw = None
         self._n = 0
         if path.endswith(".y4m"):
             from .y4m import Y4MWriter
 
             self._y4m = Y4MWriter(path, fps=fps)
+        elif path.lower().endswith(self._CV2_EXTS):
+            try:
+                import cv2
+            except ImportError as e:
+                raise RuntimeError(
+                    f"recording to {path!r} needs OpenCV (cv2) for encode; "
+                    "use .y4m for the dependency-free path") from e
+            self._cv2 = cv2
+            self._fps = fps
+            # Writer opens lazily on the first frame (needs dimensions).
+
+    def _open_cv2(self, h: int, w: int):
+        cv2 = self._cv2
+        fourcc = "MJPG" if self.path.lower().endswith(".avi") else "mp4v"
+        vw = cv2.VideoWriter(self.path, cv2.VideoWriter_fourcc(*fourcc),
+                             self._fps, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError(f"cv2 could not open {self.path!r} for "
+                               f"writing ({fourcc})")
+        return vw
 
     def write(self, frame: np.ndarray) -> None:
         if self._n >= self.max_frames:
             return
         frame = np.asarray(frame)
+        if hasattr(self, "_cv2"):
+            if frame.ndim == 2:                  # luma-only: encode gray
+                frame = np.repeat(frame[..., None], 3, axis=-1)
+            if self._vw is None:
+                self._vw = self._open_cv2(*frame.shape[:2])
+            self._vw.write(np.ascontiguousarray(frame[..., ::-1]))
+            self._n += 1
+            return
         if self._y4m is not None:
             if frame.ndim == 2:
                 # Luma-only frame (the app's nv12 display path composites
@@ -233,7 +266,9 @@ class FileSink:
         self._n += 1
 
     def close(self) -> None:
-        if self._y4m is not None:
+        if self._vw is not None:
+            self._vw.release()
+        elif self._y4m is not None:
             self._y4m.close()
         elif self._frames:
             np.save(self.path, np.stack(self._frames))

@@ -196,3 +196,33 @@ def test_filesource_cv2_container(tmp_path):
 
     looped = FileSource(path, loop=True)
     assert close(looped.frame(9), frames[1])
+
+
+def test_filesink_cv2_container_roundtrip(tmp_path):
+    """--record out.avi encodes through FileSink's cv2 path and reads back
+    via FileSource; luma-only (nv12 HUD) frames encode as gray."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "rec.avi")
+    sink = FileSink(path, fps=30.0)
+    rng = np.random.default_rng(5)
+    frames = [np.full((48, 64, 3), rng.integers(30, 220, size=3), np.uint8)
+              for _ in range(4)]
+    for fr in frames:
+        sink.write(fr)
+    sink.close()
+    assert sink.frames == 4
+
+    fs = FileSource(path)
+    assert fs.num_frames == 4
+    for i, fr in enumerate(frames):
+        got = fs.frame(i)
+        assert np.max(np.abs(got.astype(int) - fr.astype(int))) <= 12
+
+    # Luma-only frames (the nv12 display path) record as gray video.
+    gpath = str(tmp_path / "gray.avi")
+    gsink = FileSink(gpath, fps=30.0)
+    gsink.write(np.full((48, 64), 90, np.uint8))
+    gsink.close()
+    g = FileSource(gpath).frame(0)
+    assert g.shape == (48, 64, 3)
+    assert abs(int(g.mean()) - 90) <= 6
