@@ -103,8 +103,20 @@ def run_sequence_multi(params, cfg, src, frames: int, n_obj: int,
     return ious.mean(axis=0), confs.mean(axis=0), cover.mean()
 
 
+def center_errors(pred, gt):
+    """(raw px, gt-size-normalized) center distance — the OTB precision /
+    TrackingNet norm-precision primitives."""
+    pcx, pcy = pred[0] + pred[2] / 2.0, pred[1] + pred[3] / 2.0
+    gcx, gcy = gt[0] + gt[2] / 2.0, gt[1] + gt[3] / 2.0
+    dx, dy = pcx - gcx, pcy - gcy
+    raw = float(np.hypot(dx, dy))
+    norm = float(np.hypot(dx / max(gt[2], 1e-6), dy / max(gt[3], 1e-6)))
+    return raw, norm
+
+
 def run_sequence(upd, params, cfg, src, frames: int):
-    """Track one sequence.  Returns per-frame (iou, conf, visible_frac)."""
+    """Track one sequence.  Returns per-frame
+    (iou, conf, visible_frac, center_err_px, center_err_norm)."""
     st = core.init(params, jnp.asarray(src.frame_rgb(0)),
                    jnp.asarray(src.bbox_at(0)), cfg)
     rows = []
@@ -112,8 +124,8 @@ def run_sequence(upd, params, cfg, src, frames: int):
         st, bbox, conf = upd(params, st, jnp.asarray(src.frame_rgb(i)))
         vis = (src.visible_frac_at(i)
                if hasattr(src, "visible_frac_at") else 1.0)
-        rows.append((iou(np.asarray(bbox), np.asarray(src.bbox_at(i))),
-                     float(conf), vis))
+        b, gt = np.asarray(bbox), np.asarray(src.bbox_at(i))
+        rows.append((iou(b, gt), float(conf), vis) + center_errors(b, gt))
     return np.asarray(rows)
 
 
@@ -135,9 +147,10 @@ def run_sequence_cv2(onnx_path: str, src, frames: int):
         _ok, box = tracker.update(np.asarray(src.frame_rgb(i)))
         vis = (src.visible_frac_at(i)
                if hasattr(src, "visible_frac_at") else 1.0)
-        rows.append((iou(np.asarray(box, np.float64),
-                         np.asarray(src.bbox_at(i))),
-                     float(tracker.getTrackingScore()), vis))
+        b = np.asarray(box, np.float64)
+        gt = np.asarray(src.bbox_at(i))
+        rows.append((iou(b, gt), float(tracker.getTrackingScore()), vis)
+                    + center_errors(b, gt))
     return np.asarray(rows)
 
 
@@ -154,6 +167,12 @@ def summarize(scenario: str, rows: np.ndarray, thr: float) -> dict:
         "mean_conf": float(rows[visible, 1].mean()),
         "lost_frames": int((rows[visible, 1] <= thr).sum()),
     }
+    if rows.shape[1] >= 5:
+        # Standard tracking-benchmark metrics alongside IoU (whose success
+        # AUC it already equals): OTB precision = frac(center err <= 20 px);
+        # TrackingNet normalized precision at 0.2 of the gt box size.
+        out["precision_20px"] = float((rows[visible, 3] <= 20.0).mean())
+        out["norm_precision_02"] = float((rows[visible, 4] <= 0.2).mean())
     if hidden.any():
         # While the target is hidden the tracker must NOT stay confident
         # (silent drift); the session machine keys Lost off conf <= 0.25.
@@ -309,13 +328,19 @@ def main(argv=None) -> int:
         s = summarize(scenario, np.concatenate(all_rows), 0.25)
         summary[scenario] = s
         print(f"{scenario}: overall mean IoU {s['mean_iou']:.3f}"
+              + (f", precision@20px {s['precision_20px']:.3f}"
+                 if "precision_20px" in s else "")
               + (f", hidden conf max {s['hidden_conf_max']:.3f}"
                  if "hidden_conf_max" in s else ""))
     if len(scenarios) > 1:
-        print("\nscenario        mean_iou  min_iou  lost")
+        print("\nscenario        mean_iou  min_iou  lost  prec@20  nprec@0.2")
         for k, s in summary.items():
+            p20 = s.get("precision_20px")
+            np02 = s.get("norm_precision_02")
             print(f"{k:15s} {s['mean_iou']:8.3f} {s['min_iou']:8.3f} "
-                  f"{s['lost_frames']:5d}")
+                  f"{s['lost_frames']:5d}"
+                  + (f" {p20:8.3f}" if p20 is not None else "        -")
+                  + (f" {np02:10.3f}" if np02 is not None else "          -"))
     return 0
 
 

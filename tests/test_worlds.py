@@ -8,6 +8,7 @@ analogs that train/eval that robustness.
 """
 
 import numpy as np
+import pytest
 
 from gstreamer_vit_tracker_tpu.media.source import (HeldoutSource,
                                                     SyntheticSource)
@@ -221,3 +222,26 @@ def test_object_bbox_at_ground_truth():
             # target/occluder may overdraw; require majority agreement
             frac = (sub == patch).all(axis=-1).mean()
             assert frac > 0.5, frac
+
+
+def test_eval_precision_metrics():
+    """5-column rows (with center errors) yield the OTB precision /
+    TrackingNet norm-precision metrics; 3-column rows still work."""
+    import sys
+    sys.path.insert(0, ".")
+    from scripts.eval_tracking import center_errors, summarize
+
+    raw, norm = center_errors(np.array([10, 10, 20, 20]),
+                              np.array([13, 14, 20, 20]))
+    assert raw == pytest.approx(5.0)
+    assert norm == pytest.approx(0.25)
+
+    rows = np.asarray(
+        [[0.9, 0.9, 1.0, 3.0, 0.05]] * 8       # tight
+        + [[0.4, 0.8, 1.0, 25.0, 0.5]] * 2)    # off-center
+    s = summarize("basic", rows, 0.25)
+    assert s["precision_20px"] == pytest.approx(0.8)
+    assert s["norm_precision_02"] == pytest.approx(0.8)
+
+    legacy = summarize("basic", rows[:, :3], 0.25)
+    assert "precision_20px" not in legacy
