@@ -23,6 +23,7 @@ The checkpoint loads into the app with:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import dataclasses
 import sys
 import time
@@ -79,6 +80,12 @@ def main(argv=None) -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="train on the CPU backend (slow; short fine-tunes "
                          "only — useful during relay outages)")
+    ap.add_argument("--mesh", default="",
+                    help="train over a DPxTP device mesh, e.g. '2x4' "
+                         "(parallel/mesh.py): params laid out by "
+                         "param_pspec, batches split over the data axis. "
+                         "'auto' factors all visible devices. Single-chip "
+                         "when empty.")
     ap.add_argument("--log-every", type=int, default=100,
                     help="steps per scanned chunk / log line")
     ap.add_argument("--save-every", type=int, default=1000,
@@ -105,6 +112,20 @@ def main(argv=None) -> int:
         print(f"warm-start from {args.init_from}", flush=True)
     print(f"preset {args.preset}: {vittrack.count_params(params):,} params, "
           f"backend {jax.default_backend()}", flush=True)
+
+    mesh_ctx = contextlib.nullcontext()
+    if args.mesh:
+        from gstreamer_vit_tracker_tpu.parallel import (factor_mesh,
+                                                        make_mesh, sharding)
+
+        if args.mesh == "auto":
+            dp, tp = factor_mesh(len(jax.devices()))
+        else:
+            dp, tp = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh((dp, tp))
+        params = sharding.shard_params(params, mesh)
+        mesh_ctx = mesh
+        print(f"mesh: dp={dp} x tp={tp} over {dp * tp} devices", flush=True)
 
     opt = make_optimizer(args.lr, total_steps=args.steps,
                          warmup_steps=warmup, clip_norm=args.clip)
@@ -139,10 +160,11 @@ def main(argv=None) -> int:
                 and done % args.refresh_every == 0):
             ds = gen_dataset(args.seed + 1 + done)
         n = min(args.log_every, args.steps - done)
-        state, key, ls, parts = train_scan(
-            state, *ds, key, cfg, opt, n_steps=n, batch=args.batch,
-            use_pallas=None, ema_decay=args.ema,
-            augment=not args.no_augment)
+        with mesh_ctx:
+            state, key, ls, parts = train_scan(
+                state, *ds, key, cfg, opt, n_steps=n, batch=args.batch,
+                use_pallas=None, ema_decay=args.ema,
+                augment=not args.no_augment)
         done += n
         loss = float(ls[-10:].mean())
         p = {k: float(v[-10:].mean()) for k, v in parts.items()}

@@ -119,3 +119,28 @@ def test_dp_tp_train_step_on_mesh(rng):
     # Params kept their TP sharding through the update.
     k = state.params["backbone"]["blocks"][0]["qkv"]["kernel"]
     assert len(k.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_dp_tp_train_scan_on_mesh(rng):
+    """The scanned multi-step trainer (what scripts/train_synthetic.py
+    --mesh runs) executes under a 4x2 mesh with the dataset replicated and
+    params keeping their TP layout across steps."""
+    from gstreamer_vit_tracker_tpu.train import (create_train_state, data,
+                                                 make_optimizer, train_scan)
+
+    m = make_mesh((4, 2))
+    params = vittrack.init_params(jax.random.PRNGKey(0), TINY)
+    params = sharding.shard_params(params, m)
+    opt = make_optimizer(1e-3, total_steps=3, warmup_steps=1)
+    state = create_train_state(params, opt=opt)
+    z, x, gt = data.make_batch(rng, 16, TINY)
+    ds = (jnp.asarray(z), jnp.asarray(x), jnp.asarray(gt))
+    with m:
+        state, _key, ls, parts = train_scan(
+            state, *ds, jax.random.PRNGKey(3), TINY, opt,
+            n_steps=3, batch=8, use_pallas=False)
+    assert np.isfinite(np.asarray(ls)).all() and len(ls) == 3
+    assert int(state.step) == 3
+    k = state.params["backbone"]["blocks"][0]["qkv"]["kernel"]
+    assert len(k.sharding.device_set) == 8
