@@ -111,6 +111,11 @@ class SyntheticSource:
       rather than silently drifting.
     * ``n_distractors=N`` — N same-construction lookalike patches glide on
       their own Lissajous paths underneath the target.
+    * ``shake_px=A`` — camera shake: the whole scene (background, target,
+      distractors, occluder) translates by a shared smooth pseudo-random
+      offset of amplitude ±A px per axis; ground truth moves with it, so
+      evals see the violent inter-frame motion a handheld/vehicle camera
+      produces.
     """
 
     def __init__(self, width: int = 640, height: int = 512, fps: int = 60,
@@ -119,7 +124,7 @@ class SyntheticSource:
                  scale_range: Optional[Tuple[float, float]] = None,
                  scale_period: int = 300,
                  occlusion: Optional[Tuple[int, int]] = None,
-                 n_distractors: int = 0,
+                 n_distractors: int = 0, shake_px: float = 0.0,
                  patch_style: str = "quad", bg_style: str = "smooth",
                  mask_style: str = "none", edge_fade: float = 0.0):
         assert fmt in ("rgb", "nv12", "yuy2")
@@ -139,8 +144,13 @@ class SyntheticSource:
         self.scale_period = scale_period
         self.occlusion = occlusion
         self.n_distractors = n_distractors
+        self.shake_px = shake_px
         self._patch_cache: dict = {}
         rng = np.random.default_rng(seed)
+        # Separate rng stream: drawing shake phases from `rng` would shift
+        # the bit-pinned background/patch draws for every existing scene.
+        srng = np.random.default_rng(seed + 77_003)
+        self._shake_phase = srng.uniform(0, 2 * np.pi, 4)
         # Background.  "smooth" (default): one coarse-noise grid,
         # bilinear-upsampled (the original family — draw order unchanged,
         # so default scenes are bit-identical to earlier rounds).
@@ -239,6 +249,20 @@ class SyntheticSource:
             return self.obj_size
         return max(8, int(round(self.obj_size * self.scale_range[1])))
 
+    def shake_at(self, i: int) -> Tuple[int, int]:
+        """Global camera offset (dx, dy) at frame ``i`` — two
+        incommensurate sinusoids per axis (smooth but aperiodic), integer
+        so the background roll and the gt shift agree exactly."""
+        if not self.shake_px:
+            return 0, 0
+        p = self._shake_phase
+        t = i * 0.55
+        dx = 0.5 * self.shake_px * (np.sin(1.0 * t + p[0])
+                                    + np.sin(2.618 * t + p[1]))
+        dy = 0.5 * self.shake_px * (np.sin(1.13 * t + p[2])
+                                    + np.sin(2.244 * t + p[3]))
+        return int(round(dx)), int(round(dy))
+
     def bbox_at(self, i: int) -> Tuple[float, float, float, float]:
         """Ground-truth (x, y, w, h) at frame ``i``."""
         s = self._size_at(i)
@@ -248,7 +272,9 @@ class SyntheticSource:
         t = i * self.speed / 100.0
         cx = self.width / 2 + ax * np.sin(1.0 * t)
         cy = self.height / 2 + ay * np.sin(0.7 * t + 1.0)
-        return (float(cx - s / 2), float(cy - s / 2), float(s), float(s))
+        sx, sy = self.shake_at(i)
+        return (float(cx - s / 2 + sx), float(cy - s / 2 + sy),
+                float(s), float(s))
 
     def occluder_rect_at(self, i: int) -> Optional[Tuple[int, int, int, int]]:
         """Occluder (x, y, w, h) at frame ``i``, or None when inactive.
@@ -390,15 +416,22 @@ class SyntheticSource:
         t = i * self.speed / 100.0
         cx = self.width / 2 + ax * np.sin(0.9 * t + 2.1 + 2.39 * j)
         cy = self.height / 2 + ay * np.sin(0.6 * t + 4.0 + 1.7 * j)
-        return int(round(cx - s / 2)), int(round(cy - s / 2))
+        sx, sy = self.shake_at(i)
+        return (int(round(cx - s / 2)) + sx, int(round(cy - s / 2)) + sy)
 
     def frame_rgb(self, i: int) -> np.ndarray:
         x, y, w, h = self.bbox_at(i)
         if not (self._distractors or self.occlusion is not None
-                or self.scale_range is not None):
+                or self.scale_range is not None or self.shake_px):
             img, _ = self.frame_rgb_at(x, y, i)
             return img
-        img = self.background.copy()
+        sx, sy = self.shake_at(i)
+        if sx or sy:
+            # Camera pan: the background translates with the scene (wraps
+            # at the frame edge — cheap and textured enough to be benign).
+            img = np.roll(self.background, (sy, sx), axis=(0, 1))
+        else:
+            img = self.background.copy()
         for j in range(len(self._distractors)):       # under the target
             dx, dy = self._distractor_pos(j, i)
             self._paste(img, self._patch_at(self.obj_size, j), dx, dy)

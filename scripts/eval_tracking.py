@@ -48,7 +48,8 @@ PRESETS = {
     "vittrack-t": ModelConfig(),
 }
 
-SCENARIOS = ("basic", "scale", "occlusion", "distractor", "heldout")
+SCENARIOS = ("basic", "scale", "occlusion", "distractor", "shake",
+             "heldout")
 
 
 def iou(a, b):
@@ -59,16 +60,29 @@ def iou(a, b):
 
 
 def make_source(scenario: str, seq: int, args) -> object:
+    """Scenario -> ground-truthed source.  '+'-composition stacks
+    hardenings on one scene: ``occlusion+distractor``,
+    ``scale+shake+occlusion``, ... (heldout is its own world and doesn't
+    compose)."""
     obj = 40 + 8 * seq
     kw = dict(obj_size=obj, seed=seq, speed=args.speed)
     if scenario == "heldout":
         return HeldoutSource(args.width, args.height, **kw)
-    if scenario == "scale":
-        kw.update(scale_range=(0.5, 2.0), scale_period=args.frames)
-    elif scenario == "occlusion":
-        kw.update(occlusion=(200, 41))
-    elif scenario == "distractor":
-        kw.update(n_distractors=2)
+    for part in scenario.split("+"):
+        if part == "basic":
+            pass
+        elif part == "scale":
+            kw.update(scale_range=(0.5, 2.0), scale_period=args.frames)
+        elif part == "occlusion":
+            kw.update(occlusion=(200, 41))
+        elif part == "distractor":
+            kw.update(n_distractors=2)
+        elif part == "shake":
+            # ±24 px/axis camera shake: violent shared inter-frame motion
+            # stressing the search-window margin.
+            kw.update(shake_px=24.0)
+        else:
+            raise SystemExit(f"unknown scenario part {part!r}")
     return SyntheticSource(args.width, args.height, **kw)
 
 
@@ -195,7 +209,8 @@ def main(argv=None) -> int:
     ap.add_argument("--preset", default="corr-tiny", choices=sorted(PRESETS))
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--scenario", default="basic",
-                    choices=SCENARIOS + ("all",))
+                    help=f"one of {SCENARIOS + ('all',)}, or a "
+                         "'+'-composition like occlusion+distractor")
     # Defaults substantiate the README table: 400 frames covers two full
     # occlusion sweeps (period 200) and the whole 0.5x->2x scale ramp at
     # the deployment frame size.  (Round-2 verdict: 5x60@320x256 was too

@@ -171,6 +171,12 @@ def test_eval_scenario_runner_wiring():
         "--preset", "corr-tiny", "--scenario", "all", "--seqs", "1",
         "--frames", "12", "--width", "160", "--height", "128"])
     assert rc == 0
+    # '+'-composed hardenings stack on one scene.
+    rc = eval_tracking.main([
+        "--preset", "corr-tiny", "--scenario", "occlusion+shake",
+        "--seqs", "1", "--frames", "12", "--width", "160",
+        "--height", "128"])
+    assert rc == 0
 
 
 def test_eval_summarize_metrics():
@@ -245,3 +251,29 @@ def test_eval_precision_metrics():
 
     legacy = summarize("basic", rows[:, :3], 0.25)
     assert "precision_20px" not in legacy
+
+
+def test_shake_world_gt_follows_camera():
+    """Camera shake translates gt and render together: the target's
+    bright border sits at the (shaken) bbox corner, the offset really
+    reaches +-shake_px scale, and shake_px=0 leaves frames bit-identical
+    to the default world."""
+    src = SyntheticSource(640, 512, obj_size=64, seed=3, shake_px=24.0)
+    offs = np.asarray([src.shake_at(i) for i in range(120)])
+    assert np.abs(offs).max() >= 16      # the two sinusoids do align
+    assert np.abs(offs).max() <= 48
+    assert np.abs(np.diff(offs, axis=0)).max() >= 6   # violent per frame
+    for i in (0, 17, 44, 90):
+        x, y, w, h = src.bbox_at(i)
+        f = src.frame_rgb(i)
+        xi, yi = int(round(x)), int(round(y))
+        if 0 <= xi + 1 < 640 and 0 <= yi + 1 < 512:
+            assert f[yi + 1, xi + 1].min() >= 240     # bright border
+    # Distractors and occluder shift with the same offset.
+    occ = SyntheticSource(640, 512, obj_size=64, seed=3, shake_px=24.0,
+                          occlusion=(200, 41))
+    assert occ.visible_frac_at(120) == 0.0            # midpoint still full
+    base = SyntheticSource(640, 512, obj_size=64, seed=3)
+    np.testing.assert_array_equal(
+        SyntheticSource(640, 512, obj_size=64, seed=3,
+                        shake_px=0.0).frame_rgb(9), base.frame_rgb(9))
