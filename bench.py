@@ -56,6 +56,10 @@ def main(argv=None) -> int:
     ap.add_argument("--loop-frames", type=int, default=100,
                     help="frames for the per-frame Python-loop latency "
                          "measurement (p50/p99)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend: validates the whole "
+                         "bench harness without a TPU (numbers are NOT "
+                         "comparable; the JSON carries backend=cpu)")
     ap.add_argument("--init-timeout", type=int, default=240,
                     help="seconds before declaring the TPU backend "
                          "unreachable (the dev relay can hang for an hour "
@@ -89,9 +93,14 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from gstreamer_vit_tracker_tpu.utils import compile_cache
+    if args.cpu:
+        # No compile cache on CPU (XLA:CPU AOT caches host-specific code;
+        # SIGILL risk when the cache dir moves between machines).
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from gstreamer_vit_tracker_tpu.utils import compile_cache
 
-    compile_cache.enable()   # compile each program once per machine
+        compile_cache.enable()   # compile each program once per machine
     jax.devices()            # force backend init under the watchdog
     init_done.set()
 
