@@ -627,6 +627,11 @@ class FileSource:
             self._cursor = 0
             self.fmt = "rgb"
             self.num_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            if self.num_frames <= 0:
+                raise RuntimeError(
+                    f"cv2 reports no frame count for {path!r} (stream or "
+                    "broken index); only seekable recorded files are "
+                    "supported here")
             self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
             file_fps = cap.get(cv2.CAP_PROP_FPS)
