@@ -49,7 +49,7 @@ PRESETS = {
 }
 
 SCENARIOS = ("basic", "scale", "occlusion", "distractor", "shake",
-             "heldout")
+             "drift", "rotation", "noise", "heldout")
 
 
 def iou(a, b):
@@ -81,6 +81,20 @@ def make_source(scenario: str, seq: int, args) -> object:
             # ±24 px/axis camera shake: violent shared inter-frame motion
             # stressing the search-window margin.
             kw.update(shake_px=24.0)
+        elif part == "drift":
+            # Appearance drift: the target fades to 25% brightness by
+            # ~frame 375 — the regime the online template update
+            # (--template-update) exists for.
+            kw.update(appearance_drift=0.002)
+        elif part == "rotation":
+            # In-plane spin: 1.5 deg/frame = a full revolution every 240
+            # frames; the appearance leaves the frame-0 template entirely
+            # (45 deg) and returns, repeatedly.
+            kw.update(rotation_dpf=1.5)
+        elif part == "noise":
+            # sigma-12 Gaussian sensor noise on every frame (~5% of full
+            # scale — heavy for a real sensor; IR cameras are noisy).
+            kw.update(noise_sigma=12.0)
         else:
             raise SystemExit(f"unknown scenario part {part!r}")
     return SyntheticSource(args.width, args.height, **kw)
@@ -219,6 +233,11 @@ def main(argv=None) -> int:
     ap.add_argument("--seqs", type=int, default=3)
     ap.add_argument("--frames", type=int, default=400)
     ap.add_argument("--speed", type=float, default=3.0)
+    ap.add_argument("--template-update", action="store_true",
+                    help="enable the online template update "
+                         "(config.template_update_*): confident-frame "
+                         "re-embeds blended with the init template — "
+                         "measure it against the drift scenario")
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--objects", type=int, default=1, metavar="N",
@@ -255,6 +274,10 @@ def main(argv=None) -> int:
         return 2
 
     cfg = PRESETS[args.preset]
+    if args.template_update:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, template_update_enabled=True)
     params = vittrack.init_params(jax.random.PRNGKey(0), cfg)
     if args.checkpoint:
         params = weights.load_npz(args.checkpoint, params)
