@@ -87,6 +87,43 @@ def _bilinear_resize_f32(img: np.ndarray, out: int) -> np.ndarray:
             + rows[:, j1] * f[None, :, None])
 
 
+def _rotate_patch(patch: np.ndarray, alpha: Optional[np.ndarray],
+                  angle_deg: float
+                  ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Rotate ``patch`` (s, s, 3) about its centre by ``angle_deg`` into
+    the SAME s×s footprint: corners that rotate out of the square are
+    masked to alpha 0 (scene shows through), corners of the square that
+    the rotated source doesn't cover likewise.  Bilinear, pure numpy."""
+    if abs(angle_deg) % 360.0 < 1e-9:
+        return patch, alpha
+    s = patch.shape[0]
+    c = (s - 1) / 2.0
+    a = np.deg2rad(angle_deg)
+    ca, sa = np.cos(a), np.sin(a)
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    xs = ca * (xx - c) + sa * (yy - c) + c     # inverse map: dest -> src
+    ys = -sa * (xx - c) + ca * (yy - c) + c
+    eps = 1e-3          # right-angle cos/sin fuzz must not drop edge rows
+    valid = ((xs >= -eps) & (xs <= s - 1 + eps)
+             & (ys >= -eps) & (ys <= s - 1 + eps))
+    x0 = np.clip(np.floor(xs).astype(int), 0, s - 1)
+    y0 = np.clip(np.floor(ys).astype(int), 0, s - 1)
+    x1 = np.minimum(x0 + 1, s - 1)
+    y1 = np.minimum(y0 + 1, s - 1)
+    fx = np.clip(xs - x0, 0.0, 1.0)[..., None]
+    fy = np.clip(ys - y0, 0.0, 1.0)[..., None]
+    pf = patch.astype(np.float32)
+    out = ((1 - fy) * ((1 - fx) * pf[y0, x0] + fx * pf[y0, x1])
+           + fy * ((1 - fx) * pf[y1, x0] + fx * pf[y1, x1]))
+    av = valid.astype(np.float32)
+    if alpha is not None:
+        fx2, fy2 = fx[..., 0], fy[..., 0]
+        asrc = ((1 - fy2) * ((1 - fx2) * alpha[y0, x0] + fx2 * alpha[y0, x1])
+                + fy2 * ((1 - fx2) * alpha[y1, x0] + fx2 * alpha[y1, x1]))
+        av = av * asrc
+    return np.clip(np.round(out), 0, 255).astype(np.uint8), av
+
+
 class SyntheticSource:
     """Deterministic moving-target video.
 
@@ -116,6 +153,15 @@ class SyntheticSource:
       offset of amplitude ±A px per axis; ground truth moves with it, so
       evals see the violent inter-frame motion a handheld/vehicle camera
       produces.
+    * ``rotation_dpf=D`` — in-plane rotation: the target spins D degrees
+      per frame about its centre (rendered into its own footprint, so the
+      gt box stays the s×s square while the appearance continuously
+      rotates away from the frame-0 template — real targets are rarely
+      axis-locked).
+    * ``noise_sigma=S`` — per-frame additive Gaussian sensor noise of
+      std S applied to the whole frame (IR cameras — the reference's
+      actual input, pipeline_ir.rs:27-41 — are noisy); deterministic per
+      (seed, frame).
     """
 
     def __init__(self, width: int = 640, height: int = 512, fps: int = 60,
@@ -125,6 +171,7 @@ class SyntheticSource:
                  scale_period: int = 300,
                  occlusion: Optional[Tuple[int, int]] = None,
                  n_distractors: int = 0, shake_px: float = 0.0,
+                 rotation_dpf: float = 0.0, noise_sigma: float = 0.0,
                  patch_style: str = "quad", bg_style: str = "smooth",
                  mask_style: str = "none", edge_fade: float = 0.0):
         assert fmt in ("rgb", "nv12", "yuy2")
@@ -145,6 +192,9 @@ class SyntheticSource:
         self.occlusion = occlusion
         self.n_distractors = n_distractors
         self.shake_px = shake_px
+        self.rotation_dpf = float(rotation_dpf)
+        self.noise_sigma = float(noise_sigma)
+        self._noise_seed = seed + 91_007
         self._patch_cache: dict = {}
         rng = np.random.default_rng(seed)
         # Separate rng stream: drawing shake phases from `rng` would shift
@@ -422,7 +472,8 @@ class SyntheticSource:
     def frame_rgb(self, i: int) -> np.ndarray:
         x, y, w, h = self.bbox_at(i)
         if not (self._distractors or self.occlusion is not None
-                or self.scale_range is not None or self.shake_px):
+                or self.scale_range is not None or self.shake_px
+                or self.rotation_dpf or self.noise_sigma):
             img, _ = self.frame_rgb_at(x, y, i)
             return img
         sx, sy = self.shake_at(i)
@@ -439,8 +490,11 @@ class SyntheticSource:
         if self.appearance_drift:
             fade = max(0.25, 1.0 - self.appearance_drift * i)
             patch = (patch.astype(np.float32) * fade).astype(np.uint8)
-        self._paste(img, patch, int(round(x)), int(round(y)),
-                    self._alpha_at(int(w)))
+        alpha = self._alpha_at(int(w))
+        if self.rotation_dpf:
+            patch, alpha = _rotate_patch(patch, alpha,
+                                         self.rotation_dpf * i)
+        self._paste(img, patch, int(round(x)), int(round(y)), alpha)
         occ = self.occluder_rect_at(i)                # over the target
         if occ is not None:
             ox, oy, ow, oh = occ
@@ -453,6 +507,14 @@ class SyntheticSource:
                     self._patch_cache.clear()
                 self._patch_cache[("occ", side)] = tex
             self._paste(img, tex[:oh, :ow], ox, oy)
+        if self.noise_sigma:
+            # Sensor noise is post-scene (it rides on everything, occluder
+            # included), fresh each frame, deterministic per (seed, i).
+            nrng = np.random.default_rng((self._noise_seed, i))
+            img = np.clip(
+                img.astype(np.float32)
+                + nrng.normal(0.0, self.noise_sigma, img.shape),
+                0, 255).astype(np.uint8)
         return img
 
     def frame(self, i: int):

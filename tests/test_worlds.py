@@ -277,3 +277,55 @@ def test_shake_world_gt_follows_camera():
     np.testing.assert_array_equal(
         SyntheticSource(640, 512, obj_size=64, seed=3,
                         shake_px=0.0).frame_rgb(9), base.frame_rgb(9))
+
+
+def test_rotation_world_spins_in_footprint():
+    """rotation_dpf spins the target about its centre inside the same
+    s-by-s footprint: 90-degree multiples are exact rot90s of the frame-0
+    patch crop, gt box is unchanged, and rotation_dpf=0 stays
+    bit-identical to the default world."""
+    from gstreamer_vit_tracker_tpu.media.source import _rotate_patch
+
+    src = SyntheticSource(640, 512, obj_size=64, seed=3, rotation_dpf=1.0)
+    base = SyntheticSource(640, 512, obj_size=64, seed=3)
+    # gt identical to the unrotated world (rotation is appearance-only)
+    for i in (0, 33, 90):
+        assert src.bbox_at(i) == base.bbox_at(i)
+    np.testing.assert_array_equal(
+        SyntheticSource(640, 512, obj_size=64, seed=3,
+                        rotation_dpf=0.0).frame_rgb(9), base.frame_rgb(9))
+    # exact-90deg check on the kernel itself: bilinear at integral
+    # sample points degenerates to a permutation = np.rot90(k=-1)
+    p = base.patch
+    r90, a90 = _rotate_patch(p, None, 90.0)
+    np.testing.assert_array_equal(r90, np.rot90(p, k=-1))
+    assert a90.min() == 1.0                       # square covers square
+    # 45deg: corners rotate out of the footprint -> alpha 0 there,
+    # centre stays opaque
+    _, a45 = _rotate_patch(p, None, 45.0)
+    assert a45[0, 0] == 0.0 and a45[0, -1] == 0.0
+    assert a45[32, 32] == 1.0
+    # rendered frame at a quarter turn really shows the rotated patch
+    x, y, w, h = src.bbox_at(90)
+    f = src.frame_rgb(90)
+    xi, yi = int(round(x)), int(round(y))
+    crop = f[yi:yi + 64, xi:xi + 64]
+    exp, _ = _rotate_patch(p, None, 90.0)
+    np.testing.assert_array_equal(crop, exp)
+
+
+def test_noise_world_deterministic_additive():
+    """noise_sigma adds fresh per-frame Gaussian sensor noise:
+    deterministic per (seed, frame), different across frames, absent at
+    sigma=0, and roughly the requested magnitude."""
+    src = SyntheticSource(320, 256, obj_size=48, seed=2, noise_sigma=12.0)
+    f5a, f5b = src.frame_rgb(5), src.frame_rgb(5)
+    np.testing.assert_array_equal(f5a, f5b)       # same frame -> same noise
+    assert np.any(f5a != src.frame_rgb(6)[:, :, :])
+    clean = SyntheticSource(320, 256, obj_size=48, seed=2)
+    d = f5a.astype(np.float32) - clean.frame_rgb(5).astype(np.float32)
+    assert 8.0 < d.std() < 16.0                   # ~sigma, minus clipping
+    assert abs(d.mean()) < 2.0
+    np.testing.assert_array_equal(
+        SyntheticSource(320, 256, obj_size=48, seed=2,
+                        noise_sigma=0.0).frame_rgb(5), clean.frame_rgb(5))
