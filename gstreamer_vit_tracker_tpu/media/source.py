@@ -423,14 +423,17 @@ class SyntheticSource:
                 0, 255).astype(np.uint8)
 
     def frame_rgb_at(self, x: float, y: float, i: int = 0,
-                     scale: float = 1.0
+                     scale: float = 1.0, rotation_deg: float = 0.0
                      ) -> Tuple[np.ndarray, Tuple[float, float, float, float]]:
         """Render the scene with the target at an arbitrary top-left
         (clamped inside the frame); returns (frame, actual bbox).  Used by
         the training data generator to place targets hard against frame
         borders — the zero-padding regime the Lissajous path rarely
         reaches (round-2 long-horizon robustness work).  ``scale`` renders
-        the target at ``scale * obj_size`` px (size-head training)."""
+        the target at ``scale * obj_size`` px (size-head training);
+        ``rotation_deg`` renders it spun in-plane about its centre
+        (rotation-robustness training: template and search can be rendered
+        at different angles)."""
         img = self.background.copy()
         w = h = max(8, int(round(self.obj_size * scale)))
         xi = max(0, min(self.width - w, int(round(x))))
@@ -440,6 +443,8 @@ class SyntheticSource:
             fade = max(0.25, 1.0 - self.appearance_drift * i)
             patch = (patch.astype(np.float32) * fade).astype(np.uint8)
         alpha = self._alpha_at(w)
+        if rotation_deg:
+            patch, alpha = _rotate_patch(patch, alpha, rotation_deg)
         if alpha is None:
             img[yi:yi + h, xi:xi + w] = patch
         else:

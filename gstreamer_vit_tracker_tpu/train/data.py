@@ -123,7 +123,7 @@ def _border_position(rng: np.random.Generator, span: int, obj: int) -> float:
 def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
                border_frac: float = 0.4, distractor_frac: float = 0.35,
                occlusion_frac: float = 0.3, full_occ_frac: float = 0.12,
-               redetect_frac: float = 0.15
+               redetect_frac: float = 0.15, rotation_frac: float = 0.0
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One (template u8, search u8, gt) training triple; gt is
     (cx, cy, w, h, visible) in search-crop-normalised coords.
@@ -147,12 +147,25 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
 
     The template crop is taken BEFORE distractor/occluder pasting: the
     template is always clean, matching serve-time init on a confirmed box.
+
+    ``rotation_frac`` (default OFF): that fraction of samples renders the
+    target spun in-plane — template at a random base angle, search at a
+    DIFFERENT angle (base + uniform ±180°) via a second render of the same
+    scene — so matching must survive arbitrary template/search rotation
+    mismatch, the regime a frame-0 template faces on a spinning target
+    (eval `--scenario rotation`).  Rotation-invariant cues (colour layout)
+    are all that survives large mismatch; keep the fraction modest or the
+    correlation supervision reads as label noise.
     """
     seed = int(rng.integers(0, 2 ** 31))
     obj = int(rng.integers(32, 72))
     src = _pooled_source(seed, obj)
     scale = float(np.exp(rng.uniform(np.log(0.7), np.log(1.5))))
     sobj = max(8, int(round(obj * scale)))
+    theta = delta = 0.0
+    if rotation_frac and rng.random() < rotation_frac:
+        theta = float(rng.uniform(0.0, 360.0))
+        delta = float(rng.uniform(-180.0, 180.0))
     if rng.random() < border_frac:
         # Border sample: at least one axis pinned to an edge.
         axes = rng.integers(0, 3)  # 0: x edge, 1: y edge, 2: corner
@@ -160,11 +173,12 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
               else float(rng.integers(0, max(src.width - sobj, 1) + 1)))
         py = (_border_position(rng, src.height, sobj) if axes != 0
               else float(rng.integers(0, max(src.height - sobj, 1) + 1)))
-        frame, (x, y, w, h) = src.frame_rgb_at(px, py, scale=scale)
+        fi_ = 0
     else:
-        i = int(rng.integers(0, 200))
-        x, y, _, _ = src.bbox_at(i)
-        frame, (x, y, w, h) = src.frame_rgb_at(x, y, i, scale=scale)
+        fi_ = int(rng.integers(0, 200))
+        px, py, _, _ = src.bbox_at(fi_)
+    frame, (x, y, w, h) = src.frame_rgb_at(px, py, fi_, scale=scale,
+                                           rotation_deg=theta)
     cx, cy = x + w / 2, y + h / 2
 
     # Template: window around the target, mildly jittered (the online
@@ -174,6 +188,12 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
     zx = cx + rng.uniform(-0.05, 0.05) * w
     zy = cy + rng.uniform(-0.05, 0.05) * h
     z = _crop_np(frame, zx, zy, zsize, cfg.template_size)
+
+    if delta:
+        # Search-side render at a mismatched angle (same scene/position —
+        # bbox is rotation-invariant by construction).
+        frame, _ = src.frame_rgb_at(px, py, fi_, scale=scale,
+                                    rotation_deg=theta + delta)
 
     # --- Hard-world pasting (after the template crop, before the search
     # crop, in place on the shared frame buffer).

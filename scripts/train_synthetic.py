@@ -75,6 +75,12 @@ def main(argv=None) -> int:
                     help="fraction of fully-occluded visible=0 negatives "
                          "(anchors the hidden-confidence collapse the Lost "
                          "machine's 0.25 threshold depends on)")
+    ap.add_argument("--rotation-frac", type=float, default=0.0,
+                    help="fraction of samples with an in-plane-rotated "
+                         "target and a template/search angle MISMATCH "
+                         "(rotation robustness, eval --scenario rotation); "
+                         "keep modest — large-mismatch matching rests on "
+                         "rotation-invariant cues only")
     ap.add_argument("--refresh-every", type=int, default=0,
                     help="regenerate the dataset every N steps (0: never)")
     ap.add_argument("--cpu", action="store_true",
@@ -136,7 +142,8 @@ def main(argv=None) -> int:
         t = time.perf_counter()
         ds = data.make_dataset(seed, args.dataset_size, cfg,
                                border_frac=args.border_frac,
-                               full_occ_frac=args.full_occ_frac)
+                               full_occ_frac=args.full_occ_frac,
+                               rotation_frac=args.rotation_frac)
         print(f"dataset: {args.dataset_size} samples "
               f"({time.perf_counter() - t:.0f}s host gen)", flush=True)
         return tuple(jnp.asarray(a) for a in ds)

@@ -115,3 +115,21 @@ def test_train_step_bf16_model(rng):
     assert np.isfinite(float(loss))
     # Master weights stay f32.
     assert state.params["backbone"]["patch_embed"]["kernel"].dtype == jnp.float32
+
+
+def test_sample_raw_rotation_mismatch():
+    """rotation_frac renders template and search at mismatched in-plane
+    angles (same scene, same gt): samples stay well-formed, and the
+    default stream (rotation_frac=0) is bit-identical to the pre-knob
+    sampler — existing datasets/seeds are unaffected."""
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        z, x, gt = data.sample_raw(rng, TINY, rotation_frac=1.0,
+                                   distractor_frac=0.0,
+                                   occlusion_frac=0.0, full_occ_frac=0.0)
+        assert z.dtype == x.dtype == np.uint8
+        assert np.isfinite(gt).all() and (gt[2:4] > 0).all()
+    a = data.sample_raw(np.random.default_rng(3), TINY)
+    b = data.sample_raw(np.random.default_rng(3), TINY, rotation_frac=0.0)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(u, v)
