@@ -86,6 +86,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="record frames to this path (.y4m streams raw "
                          "video playable anywhere; other suffixes collect "
                          "an .npy stack)")
+    ap.add_argument("--record-track", default="", metavar="PATH",
+                    help="append one JSON line per frame (state, bbox, "
+                         "score; per-object in --objects mode) — the "
+                         "machine-readable twin of the reference's console "
+                         "prints (pipeline_ir.rs:210-220)")
     ap.add_argument("--preview", type=int, default=-1, metavar="PORT",
                     help="serve a live MJPEG preview on this HTTP port "
                          "(0 = ephemeral port; the headless analog of the "
@@ -197,6 +202,7 @@ def main(argv=None) -> int:
     stats = TimingStats(app_cfg.telemetry.window)
     phases = PhaseTimer()   # map/track/draw micro-breakdown (pipeline_ir.rs:126-208)
     sinks = []
+    track_log = open(args.record_track, "a") if args.record_track else None
     if args.record:
         sinks.append(FileSink(args.record, fps=float(args.fps)))
     if args.preview >= 0:
@@ -288,7 +294,8 @@ def main(argv=None) -> int:
 
             try:
                 frame_idx = _run_frame(args, src, session, stats, phases,
-                                       sink, app_cfg, frame_idx)
+                                       sink, app_cfg, frame_idx,
+                                       track_log=track_log)
                 consecutive_faults = 0
             except KeyboardInterrupt:
                 raise
@@ -316,6 +323,8 @@ def main(argv=None) -> int:
     finally:
         running.clear()
         sink.close()
+        if track_log is not None:
+            track_log.close()
 
     wall = time.perf_counter() - t_start
     print(f"\nDone: {frame_idx} frames in {wall:.1f}s "
@@ -326,7 +335,7 @@ def main(argv=None) -> int:
 
 
 def _run_frame(args, src, session, stats, phases, sink, app_cfg,
-               frame_idx: int) -> int:
+               frame_idx: int, track_log=None) -> int:
     """One iteration of the per-frame hot loop (pipeline_ir.rs:100-228):
     fetch -> track -> HUD -> sink -> telemetry.  Raises on device/source
     faults; the caller recovers.  Returns the next frame index."""
@@ -344,6 +353,21 @@ def _run_frame(args, src, session, stats, phases, sink, app_cfg,
 
     # HUD overlay on device (pipeline_ir.rs:162-204).
     state_name = session.state_name()
+    if track_log is not None:
+        import json
+
+        rec = {"frame": frame_idx, "state": state_name,
+               "track_ms": round(track_us / 1e3, 3)}
+        if hasattr(session, "tracked_boxes"):      # multi-object session
+            rec["objects"] = [
+                {"id": k, "bbox": [float(v) for v in bb],
+                 "score": round(float(sc), 4)}
+                for k, bb, sc in session.tracked_boxes()]
+        else:
+            bb = bbox if bbox is not None else session.current_bbox
+            rec["bbox"] = ([float(v) for v in bb] if bb else None)
+            rec["score"] = round(float(session.current_score), 4)
+        track_log.write(json.dumps(rec) + "\n")
     sel = session.selection
     hud = overlay.HudParams(
         state_name=state_name,

@@ -86,3 +86,28 @@ def test_headless_multi_object_exclusive_runs():
         capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "TRACKING 3 OF 3" in proc.stdout, proc.stdout
+
+
+def test_headless_record_track_jsonl(tmp_path):
+    """--record-track appends one JSON line per frame with state, bbox
+    and score — the machine-readable twin of the reference's console
+    telemetry (pipeline_ir.rs:210-220)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "traj.jsonl"
+    proc = subprocess.run(
+        [sys.executable, "-m", "gstreamer_vit_tracker_tpu.app.main",
+         "--headless", "--cpu", "--model", "corr-tiny", "--width", "320",
+         "--height", "256", "--frames", "15", "--no-pace",
+         "--record-track", str(out)],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert len(rows) == 15
+    assert rows[0]["frame"] == 0 and rows[-1]["frame"] == 14
+    for r in rows:
+        assert r["state"] == "TRACKING"
+        assert len(r["bbox"]) == 4 and r["score"] > 0.25
+        assert r["track_ms"] > 0
