@@ -105,6 +105,11 @@ def build_argparser() -> argparse.ArgumentParser:
                          "scaler stage, pipeline_ir.rs:62-73); rgb format")
     ap.add_argument("--no-pace", action="store_true",
                     help="run as fast as possible (benchmarking)")
+    ap.add_argument("--init-bbox", default="", metavar="X,Y,W,H",
+                    help="headless init box in frame pixels (the file-source "
+                         "analog of the interactive corner selection, "
+                         "tracker_context.rs:64-115; default: synthetic gt "
+                         "box, else a centre box)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--speed", type=float, default=2.0,
                     help="synthetic target speed (0 = static)")
@@ -223,8 +228,22 @@ def main(argv=None) -> int:
         keyboard.start_keyboard_reader(cmd_q.put, running)
 
     if args.headless:
-        # Auto-init on the known target (synthetic gt box or centre box).
-        if isinstance(src, SyntheticSource):
+        # Auto-init on the known target (synthetic gt box or centre box),
+        # unless the user pinned the box (--init-bbox, the file-source
+        # analog of the interactive selection).
+        if args.init_bbox:
+            try:
+                x, y, w, h = (int(v) for v in args.init_bbox.split(","))
+            except ValueError:
+                print(f"error: --init-bbox must be X,Y,W,H integers, got "
+                      f"{args.init_bbox!r}")
+                return 2
+            if w < 20 or h < 20:  # selection_state.rs:42-43 minimum
+                print(f"error: --init-bbox smaller than the 20x20 minimum "
+                      f"selection: {w}x{h}")
+                return 2
+            bbox = (x, y, w, h)
+        elif isinstance(src, SyntheticSource):
             bbox = tuple(int(v) for v in src.bbox_at(0))
         else:
             bbox = (width // 2 - 40, height // 2 - 40, 80, 80)
@@ -268,6 +287,14 @@ def main(argv=None) -> int:
     period = 1.0 / args.fps
     last_t = None
     frame_idx = 0
+    # A finite, non-looping file ends the run cleanly at its last frame
+    # (the reference's pipeline gets EOS from v4l2src; our analog is the
+    # file length) instead of riding the fault-recovery path off the end.
+    end_frame = args.frames
+    if isinstance(src, FileSource) and not src.loop:
+        end_frame = (min(end_frame, src.num_frames) if end_frame
+                     else src.num_frames)
+
     t_start = time.perf_counter()
     # Fault recovery: the reference merely exits on pipeline errors
     # (main.rs:56-65); we recover from transient device/relay faults by
@@ -278,7 +305,7 @@ def main(argv=None) -> int:
 
     try:
         while running.is_set():
-            if args.frames and frame_idx >= args.frames:
+            if end_frame and frame_idx >= end_frame:
                 break
             now = time.perf_counter()
             if last_t is not None:

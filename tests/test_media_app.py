@@ -111,3 +111,60 @@ def test_headless_record_track_jsonl(tmp_path):
         assert r["state"] == "TRACKING"
         assert len(r["bbox"]) == 4 and r["score"] > 0.25
         assert r["track_ms"] > 0
+
+
+def test_file_source_init_bbox_demo_flow(tmp_path):
+    """The README demo flow: record a clip headless, then track it back
+    from the file with --init-bbox (the file-source analog of the
+    reference's interactive corner selection, tracker_context.rs:64-115).
+    The run must stop cleanly at the file's last frame (EOS analog), not
+    ride the fault-recovery path off the end."""
+    import json
+    import subprocess
+    import sys
+
+    clip = tmp_path / "clip.y4m"
+    rec = subprocess.run(
+        [sys.executable, "-m", "gstreamer_vit_tracker_tpu.app.main",
+         "--headless", "--cpu", "--model", "corr-tiny", "--width", "320",
+         "--height", "256", "--frames", "12", "--no-pace", "--speed", "1.0",
+         "--record", str(clip)],
+        capture_output=True, text=True, timeout=300)
+    assert rec.returncode == 0, rec.stdout + rec.stderr
+
+    from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
+    x, y, w, h = (int(v) for v in
+                  SyntheticSource(320, 256, speed=1.0).bbox_at(0))
+
+    out = tmp_path / "traj.jsonl"
+    proc = subprocess.run(
+        [sys.executable, "-m", "gstreamer_vit_tracker_tpu.app.main",
+         "--source", "file", "--input", str(clip), "--headless", "--cpu",
+         "--model", "corr-tiny", "--no-pace",
+         "--init-bbox", f"{x},{y},{w},{h}",
+         "--record-track", str(out)],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "error" not in proc.stdout.lower().split("frame 0")[0]
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert len(rows) == 12                      # clean EOF stop
+    assert all(r["state"] == "TRACKING" for r in rows)
+    # The tracked box must stay on the recorded target, not the centre.
+    bx = rows[-1]["bbox"]
+    assert abs(bx[0] - x) < 48 and abs(bx[1] - y) < 48
+
+
+def test_init_bbox_validation():
+    """Malformed or sub-minimum --init-bbox exits with an error (the
+    20x20 minimum mirrors selection_state.rs:42-43)."""
+    import subprocess
+    import sys
+
+    for bad in ("1,2,3", "10,10,10,10"):
+        proc = subprocess.run(
+            [sys.executable, "-m", "gstreamer_vit_tracker_tpu.app.main",
+             "--headless", "--cpu", "--model", "corr-tiny", "--frames", "2",
+             "--no-pace", "--init-bbox", bad],
+            capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 2, proc.stdout + proc.stderr
+        assert "error: --init-bbox" in proc.stdout
