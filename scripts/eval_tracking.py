@@ -252,6 +252,10 @@ def main(argv=None) -> int:
                     help="run on the CPU backend (slow but immune to relay "
                          "outages; compile cache stays off — see "
                          "utils/compile_cache.enable)")
+    ap.add_argument("--json", default="", metavar="PATH",
+                    help="also write the per-scenario summary metrics as "
+                         "one JSON object (machine-readable twin of the "
+                         "printed table)")
     ap.add_argument("--tracker", choices=("ours", "cv2"), default="ours",
                     help="'cv2' runs OpenCV's TrackerVit on the checkpoint "
                          "exported via models/export_onnx.py — the "
@@ -320,6 +324,12 @@ def main(argv=None) -> int:
         print(f"multi-object overall mean IoU {all_iou.mean():.3f} "
               f"(min object {all_iou.min():.3f}), "
               f"coverage {np.mean(covers):.3f}")
+        if args.json:
+            _dump_json(args.json, {
+                "mode": "multi-object", "objects": n, "scenario": scen,
+                "mean_iou": float(all_iou.mean()),
+                "min_object_iou": float(all_iou.min()),
+                "coverage": float(np.mean(covers))})
         return 0
 
     if args.tracker == "cv2":
@@ -379,7 +389,28 @@ def main(argv=None) -> int:
                   f"{s['lost_frames']:5d}"
                   + (f" {p20:8.3f}" if p20 is not None else "        -")
                   + (f" {np02:10.3f}" if np02 is not None else "          -"))
+    if args.json:
+        _dump_json(args.json, {
+            "mode": args.tracker, "preset": args.preset,
+            "seqs": args.seqs, "frames": args.frames,
+            "scenarios": summary})
     return 0
+
+
+def _dump_json(path: str, obj) -> None:
+    import json
+
+    def _py(v):
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            return float(v)
+        raise TypeError(f"not JSON-serializable: {type(v)}")
+
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=1, default=_py)
+        f.write("\n")
+    print(f"summary written to {path}")
 
 
 if __name__ == "__main__":

@@ -160,17 +160,25 @@ def test_nv12_yuy2_formats_compose_with_worlds():
             assert f.shape == (32, 128)
 
 
-def test_eval_scenario_runner_wiring():
+def test_eval_scenario_runner_wiring(tmp_path):
     """The scenario eval CLI runs end to end on CPU (corr-tiny, tiny
-    frames) for every scenario, including the summarize metrics."""
+    frames) for every scenario, including the summarize metrics and the
+    --json machine-readable summary."""
+    import json
     import sys
     sys.path.insert(0, ".")
     from scripts import eval_tracking
 
+    out = tmp_path / "summary.json"
     rc = eval_tracking.main([
         "--preset", "corr-tiny", "--scenario", "all", "--seqs", "1",
-        "--frames", "12", "--width", "160", "--height", "128"])
+        "--frames", "12", "--width", "160", "--height", "128",
+        "--json", str(out)])
     assert rc == 0
+    summary = json.loads(out.read_text())
+    assert set(summary["scenarios"]) == set(eval_tracking.SCENARIOS)
+    for s in summary["scenarios"].values():
+        assert 0.0 <= s["mean_iou"] <= 1.0 and "lost_frames" in s
     # '+'-composed hardenings stack on one scene.
     rc = eval_tracking.main([
         "--preset", "corr-tiny", "--scenario", "occlusion+shake",
