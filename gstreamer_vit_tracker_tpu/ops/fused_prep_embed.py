@@ -34,11 +34,30 @@ back-to-back diffs in one session):
   generated pre-permuted), channel-interleaved planes, then ``patch``
   accumulating (N, patch*3) @ (patch*3, D) matmuls — no transpose at all,
   at the cost of K=48-thin MXU passes.
+
+REAL-TPU STATUS (measured 2026-08-18, jax 0.8 / libtpu v5e): **Mosaic
+cannot lower either formulation.**  Three distinct limits were hit (first
+two are fixed in this file, the third is structural):
+
+1. no uint8->float cast — hop through int32 (free);
+2. ``tpu.iota`` is integer-only — generate i32, cast to f32;
+3. **no reshape may merge data into the lane (minor) dimension**:
+   ``(256,256,3)->(256,768)`` and ``(16,16,16,16,3)->(256,768)`` both die
+   with "unsupported shape cast".  Every patchify formulation needs
+   exactly such a merge — the same cross-lane relayout XLA materialises
+   on the plain path.  Rank-1/outer-product rewrites avoid it but move
+   the embed off the MXU (measured dead end, see CLAUDE.md).
+
+The kernel therefore raises on the real TPU backend (set
+``GVT_FUSED_PREP_FORCE=1`` to re-probe a future toolchain) and remains
+exercised in interpret mode by tests/test_fused_prep_embed.py as the
+input-layout spec for a future hand-written Mosaic kernel.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -78,8 +97,9 @@ def _kernel(scal_ref, y_ref, uv_ref, w_ref, pb_ref, out_ref, *,
     def target(start, r_to_o=None):
         # output index r (rows of the matrix) -> source coordinate.
         def mat(rows, cols, half: bool):
-            r = jax.lax.broadcasted_iota(f32, (rows, cols), 0)
-            j = jax.lax.broadcasted_iota(f32, (rows, cols), 1)
+            # Mosaic's tpu.iota is integer-only; generate i32 then cast.
+            r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(f32)
+            j = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1).astype(f32)
             o = r if r_to_o is None else r_to_o(r)
             t = start + (o + 0.5) * sc - 0.5
             if half:
@@ -104,8 +124,8 @@ def _kernel(scal_ref, y_ref, uv_ref, w_ref, pb_ref, out_ref, *,
 
     # Interleaved-chroma column matrices: U lives at even byte columns
     # s = 2c, V at odd s = 2c + 1; fold weights land on the byte column.
-    r = jax.lax.broadcasted_iota(f32, (out_size, bw), 0)
-    s = jax.lax.broadcasted_iota(f32, (out_size, bw), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (out_size, bw), 0).astype(f32)
+    s = jax.lax.broadcasted_iota(jnp.int32, (out_size, bw), 1).astype(f32)
     t = sx + (r + 0.5) * sc - 0.5
     even = (s - 2.0 * jnp.floor(s / 2.0)) < 0.5
     fold = _hat(t, s) + _hat(t, s + 1.0)         # = M'[., s/2] at even s
@@ -114,8 +134,9 @@ def _kernel(scal_ref, y_ref, uv_ref, w_ref, pb_ref, out_ref, *,
     cx_v = jnp.where(even, 0.0, foldv).astype(dt)
 
     # --- offset-shift + resample (MXU) --------------------------------------
-    yp = (y_ref[...].astype(f32) - 16.0).astype(dt)
-    uvp = (uv_ref[...].astype(f32) - 128.0).astype(dt)
+    # Mosaic has no uint8->float cast; hop through int32 (measured: free).
+    yp = (y_ref[...].astype(jnp.int32).astype(f32) - 16.0).astype(dt)
+    uvp = (uv_ref[...].astype(jnp.int32).astype(f32) - 128.0).astype(dt)
 
     def mm(a, b_t):          # a @ b_t.T with f32 accumulation
         return jax.lax.dot_general(a, b_t, (((1,), (1,)), ((), ())),
@@ -136,16 +157,19 @@ def _kernel(scal_ref, y_ref, uv_ref, w_ref, pb_ref, out_ref, *,
               yv + c["gu"] * uc + c["gv"] * vc,
               yv + c["bu"] * uc)
     mean, std = norm
+    # Patchify stays f32: Mosaic only reshapes/expands 32-bit vectors
+    # ("insertion of minor dim ... only supported for 32-bit types").
     planes = tuple(
-        ((jnp.clip(pl_, 0.0, 255.0) / 255.0 - mean[i]) / std[i]).astype(dt)
+        (jnp.clip(pl_, 0.0, 255.0) / 255.0 - mean[i]) / std[i]
         for i, pl_ in enumerate(planes))
 
     # --- patchify + embed ----------------------------------------------------
     if mode == "transpose":
-        crop = jnp.stack(planes, axis=-1)            # (S, S, 3)
+        crop = jnp.stack(planes, axis=-1)            # (S, S, 3) f32
         x = crop.reshape(g, patch, g, patch, 3)
         x = x.transpose(0, 2, 1, 3, 4).reshape(n_tok, patch * patch * 3)
-        tok = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
+        tok = jax.lax.dot_general(x.astype(dt), w_ref[...],
+                                  (((1,), (0,)), ((), ())),
                                   preferred_element_type=f32)
     else:                                            # "loop"
         inter = jnp.stack(planes, axis=-1).reshape(out_size, out_size * 3)
@@ -154,7 +178,8 @@ def _kernel(scal_ref, y_ref, uv_ref, w_ref, pb_ref, out_ref, *,
         for p in range(patch):                       # static unroll
             a = inter[p * g:(p + 1) * g].reshape(n_tok, kp)
             tok = tok + jax.lax.dot_general(
-                a, w_ref[p * kp:(p + 1) * kp], (((1,), (0,)), ((), ())),
+                a.astype(dt), w_ref[p * kp:(p + 1) * kp],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
     out_ref[...] = (tok.astype(dt) + pb_ref[...]).astype(dt)
 
@@ -209,6 +234,12 @@ def nv12_search_tokens(params, y_plane: jnp.ndarray, uv_plane: jnp.ndarray,
     unbatched serving path; inference-only (no custom_vjp — training uses
     the XLA chain).
     """
+    if jax.default_backend() == "tpu" and not os.environ.get(
+            "GVT_FUSED_PREP_FORCE"):
+        raise NotImplementedError(
+            "fused prep+embed cannot lower on real TPU: Mosaic rejects the "
+            "patchify's merge-into-lane reshape (see module docstring). "
+            "Use the plain XLA path, or GVT_FUSED_PREP_FORCE=1 to re-probe.")
     bb = params["backbone"] if "backbone" in params else params
     pe = bb["patch_embed"]
     pb = bb["pos_embed_x"] + pe["bias"][None, :]

@@ -167,9 +167,10 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
             size=jnp.minimum(window.size, float(cfg.preprocess_band)))
     if fused_prep and frame_format == "nv12":
         # Whole preprocess + patch-embed in ONE Pallas kernel
-        # (ops/fused_prep_embed.py); opt-in pending a device A/B.  True
-        # selects the default patchify formulation; a string ("loop" /
-        # "transpose") pins one for A/B harnesses.
+        # (ops/fused_prep_embed.py).  Interpret-mode/spec only: real-TPU
+        # Mosaic cannot lower the patchify (the module raises there — see
+        # its docstring).  True selects the default patchify formulation;
+        # a string ("loop" / "transpose") pins one for A/B harnesses.
         from ..ops import fused_prep_embed as fpe
 
         mode = fused_prep if isinstance(fused_prep, str) else "loop"

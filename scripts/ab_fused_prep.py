@@ -92,10 +92,19 @@ def main() -> int:
             return time.perf_counter() - t0
         return run
 
+    # Attempt the Pallas variants even on real TPU (the module otherwise
+    # raises: Mosaic can't lower the patchify — see fused_prep_embed
+    # docstring); a FAIL line here is the re-probe record.
+    os.environ.setdefault("GVT_FUSED_PREP_FORCE", "1")
+
     lo, hi = args.reps, reps_hi
     for fp in (False, "loop", "transpose"):
-        t = diff_ms(run_full(fp), lo, hi)
-        print(f"full step ms ({fp or 'plain'}): {t:.4f}")
+        try:
+            t = diff_ms(run_full(fp), lo, hi)
+            print(f"full step ms ({fp or 'plain'}): {t:.4f}")
+        except Exception as e:
+            print(f"full step ({fp or 'plain'}): FAIL "
+                  f"{type(e).__name__}: {str(e).splitlines()[0][:120]}")
 
     # ---- 2. isolated prep+embed stage ------------------------------------
     def stage_scan(body):
@@ -144,8 +153,12 @@ def main() -> int:
     t = diff_ms(stage_scan(plain_body), lo, hi)
     print(f"prep+embed stage ms (plain): {t:.4f}")
     for mode in ("loop", "transpose"):
-        t = diff_ms(stage_scan(fused_body(mode)), lo, hi)
-        print(f"prep+embed stage ms ({mode}): {t:.4f}")
+        try:
+            t = diff_ms(stage_scan(fused_body(mode)), lo, hi)
+            print(f"prep+embed stage ms ({mode}): {t:.4f}")
+        except Exception as e:
+            print(f"prep+embed stage ({mode}): FAIL "
+                  f"{type(e).__name__}: {str(e).splitlines()[0][:120]}")
     return 0
 
 
