@@ -2,8 +2,11 @@
 matches the plain chain preprocess_nv12 -> embed_search, and the tracker
 step routed through it tracks identically.
 
-The kernel runs in interpret mode on CPU; on TPU the same code compiles via
-Mosaic (conventions as ops/vit_block.py)."""
+The kernel runs in interpret mode on CPU only — on the real TPU Mosaic
+cannot lower the patchify (merge-into-lane reshape; module docstring), so
+``nv12_search_tokens`` raises there instead of emitting a cryptic compile
+error.  These tests pin both the interpret-mode numerics (the layout spec
+for a future hand-written kernel) and the TPU-backend refusal."""
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +35,18 @@ def _ref_tokens(params, y, uv, win, cfg, dtype):
                                cfg.norm_std, dtype=dtype,
                                band=cfg.preprocess_band)
     return vit.embed_search(params["backbone"], x_img[None], cfg)[0]
+
+
+def test_raises_on_real_tpu_backend(monkeypatch):
+    """On the TPU backend the kernel refuses with a clear message (Mosaic
+    can't lower the patchify); GVT_FUSED_PREP_FORCE=1 re-probes."""
+    params = vittrack.init_params(jax.random.PRNGKey(0), CFG)
+    y, uv = _nv12()
+    win = pp.CropWindow(cx=300.0, cy=250.0, size=200.0)
+    monkeypatch.delenv("GVT_FUSED_PREP_FORCE", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(NotImplementedError, match="Mosaic"):
+        fpe.nv12_search_tokens(params, y, uv, win, CFG)
 
 
 @pytest.mark.parametrize("mode", ["transpose", "loop"])
