@@ -427,7 +427,8 @@ class SyntheticSource:
                 0, 255).astype(np.uint8)
 
     def frame_rgb_at(self, x: float, y: float, i: int = 0,
-                     scale: float = 1.0, rotation_deg: float = 0.0
+                     scale: float = 1.0, rotation_deg: float = 0.0,
+                     fade: float = 1.0
                      ) -> Tuple[np.ndarray, Tuple[float, float, float, float]]:
         """Render the scene with the target at an arbitrary top-left
         (clamped inside the frame); returns (frame, actual bbox).  Used by
@@ -437,14 +438,19 @@ class SyntheticSource:
         the target at ``scale * obj_size`` px (size-head training);
         ``rotation_deg`` renders it spun in-plane about its centre
         (rotation-robustness training: template and search can be rendered
-        at different angles)."""
+        at different angles); ``fade`` scales the target's brightness
+        (fade-robustness training: template and search can be rendered at
+        MISMATCHED brightness, the regime the drift scenario's static
+        template faces — it composes multiplicatively with any
+        ``appearance_drift``-driven fade)."""
         img = self.background.copy()
         w = h = max(8, int(round(self.obj_size * scale)))
         xi = max(0, min(self.width - w, int(round(x))))
         yi = max(0, min(self.height - h, int(round(y))))
         patch = self._patch_at(w)
         if self.appearance_drift:
-            fade = max(0.25, 1.0 - self.appearance_drift * i)
+            fade = fade * max(0.25, 1.0 - self.appearance_drift * i)
+        if fade != 1.0:
             patch = (patch.astype(np.float32) * fade).astype(np.uint8)
         alpha = self._alpha_at(w)
         if rotation_deg:

@@ -123,7 +123,8 @@ def _border_position(rng: np.random.Generator, span: int, obj: int) -> float:
 def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
                border_frac: float = 0.4, distractor_frac: float = 0.35,
                occlusion_frac: float = 0.3, full_occ_frac: float = 0.12,
-               redetect_frac: float = 0.15, rotation_frac: float = 0.0
+               redetect_frac: float = 0.15, rotation_frac: float = 0.0,
+               fade_frac: float = 0.0
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One (template u8, search u8, gt) training triple; gt is
     (cx, cy, w, h, visible) in search-crop-normalised coords.
@@ -156,6 +157,17 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
     (eval `--scenario rotation`).  Rotation-invariant cues (colour layout)
     are all that survives large mismatch; keep the fraction modest or the
     correlation supervision reads as label noise.
+
+    ``fade_frac`` (default OFF): that fraction of samples darkens the
+    TARGET in the search render to 30-100% brightness while the template
+    stays bright (half the time) or is darkened to a near-matching level
+    (the other half — an online-updated template a few frames stale).
+    ``visible`` stays 1.0: a darkened target is still the target, which
+    is exactly the cue the occlusion negatives (gray slabs, also dark)
+    otherwise teach the confidence head to collapse on — observed as the
+    deep-fade tail of the drift scenario losing track after the
+    occlusion-balanced fine-tune (eval `--scenario drift`,
+    appearance_drift >= 0.005).
     """
     seed = int(rng.integers(0, 2 ** 31))
     obj = int(rng.integers(32, 72))
@@ -163,9 +175,16 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
     scale = float(np.exp(rng.uniform(np.log(0.7), np.log(1.5))))
     sobj = max(8, int(round(obj * scale)))
     theta = delta = 0.0
+    fade_z = fade_x = 1.0
     if rotation_frac and rng.random() < rotation_frac:
         theta = float(rng.uniform(0.0, 360.0))
         delta = float(rng.uniform(-180.0, 180.0))
+    if fade_frac and rng.random() < fade_frac:
+        fade_x = float(np.exp(rng.uniform(np.log(0.3), np.log(1.0))))
+        if rng.random() < 0.5:      # updated-template regime: mild mismatch
+            fade_z = float(np.clip(
+                fade_x * np.exp(rng.uniform(np.log(0.8), np.log(1.25))),
+                0.25, 1.0))
     if rng.random() < border_frac:
         # Border sample: at least one axis pinned to an edge.
         axes = rng.integers(0, 3)  # 0: x edge, 1: y edge, 2: corner
@@ -178,7 +197,7 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
         fi_ = int(rng.integers(0, 200))
         px, py, _, _ = src.bbox_at(fi_)
     frame, (x, y, w, h) = src.frame_rgb_at(px, py, fi_, scale=scale,
-                                           rotation_deg=theta)
+                                           rotation_deg=theta, fade=fade_z)
     cx, cy = x + w / 2, y + h / 2
 
     # Template: window around the target, mildly jittered (the online
@@ -189,11 +208,12 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
     zy = cy + rng.uniform(-0.05, 0.05) * h
     z = _crop_np(frame, zx, zy, zsize, cfg.template_size)
 
-    if delta:
-        # Search-side render at a mismatched angle (same scene/position —
-        # bbox is rotation-invariant by construction).
+    if delta or fade_x != fade_z:
+        # Search-side render at a mismatched angle / brightness (same
+        # scene/position — bbox is invariant to both by construction).
         frame, _ = src.frame_rgb_at(px, py, fi_, scale=scale,
-                                    rotation_deg=theta + delta)
+                                    rotation_deg=theta + delta,
+                                    fade=fade_x)
 
     # --- Hard-world pasting (after the template crop, before the search
     # crop, in place on the shared frame buffer).

@@ -81,6 +81,12 @@ def main(argv=None) -> int:
                          "(rotation robustness, eval --scenario rotation); "
                          "keep modest — large-mismatch matching rests on "
                          "rotation-invariant cues only")
+    ap.add_argument("--fade-frac", type=float, default=0.0,
+                    help="fraction of samples with the search-side target "
+                         "darkened to 30-100%% brightness vs the template "
+                         "(deep-fade robustness, eval --scenario drift; "
+                         "keeps visible=1 so fade stops reading as "
+                         "occlusion)")
     ap.add_argument("--refresh-every", type=int, default=0,
                     help="regenerate the dataset every N steps (0: never)")
     ap.add_argument("--cpu", action="store_true",
@@ -143,7 +149,8 @@ def main(argv=None) -> int:
         ds = data.make_dataset(seed, args.dataset_size, cfg,
                                border_frac=args.border_frac,
                                full_occ_frac=args.full_occ_frac,
-                               rotation_frac=args.rotation_frac)
+                               rotation_frac=args.rotation_frac,
+                               fade_frac=args.fade_frac)
         print(f"dataset: {args.dataset_size} samples "
               f"({time.perf_counter() - t:.0f}s host gen)", flush=True)
         return tuple(jnp.asarray(a) for a in ds)

@@ -133,3 +133,32 @@ def test_sample_raw_rotation_mismatch():
     b = data.sample_raw(np.random.default_rng(3), TINY, rotation_frac=0.0)
     for u, v in zip(a, b):
         np.testing.assert_array_equal(u, v)
+
+
+def test_sample_raw_fade_mismatch():
+    """fade_frac darkens the search-side target vs the template while
+    keeping visible=1 (a faded target is still the target — the cue that
+    separates deep fade from the gray occlusion negatives).  The default
+    stream (fade_frac=0) is bit-identical to the pre-knob sampler."""
+    rng = np.random.default_rng(21)
+    darker = 0
+    for _ in range(30):
+        z, x, gt = data.sample_raw(rng, TINY, fade_frac=1.0,
+                                   border_frac=0.0, distractor_frac=0.0,
+                                   occlusion_frac=0.0, full_occ_frac=0.0,
+                                   redetect_frac=0.0)
+        assert z.dtype == x.dtype == np.uint8
+        assert gt[4] == 1.0          # fade is NOT occlusion
+        assert np.isfinite(gt).all() and (gt[2:4] > 0).all()
+        hz, wz = z.shape[:2]
+        hx, wx = x.shape[:2]
+        tz = z[hz // 2 - 8:hz // 2 + 8, wz // 2 - 8:wz // 2 + 8]
+        tx = x[hx // 2 - 8:hx // 2 + 8, wx // 2 - 8:wx // 2 + 8]
+        darker += float(tx.mean()) < float(tz.mean()) - 5.0
+    # The static-template regime (~half the draws, fade_x down to 0.3)
+    # must show up as a clearly darker search-side centre.
+    assert darker >= 5, f"only {darker}/30 samples visibly darker"
+    a = data.sample_raw(np.random.default_rng(3), TINY)
+    b = data.sample_raw(np.random.default_rng(3), TINY, fade_frac=0.0)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(u, v)
