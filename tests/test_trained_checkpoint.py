@@ -172,13 +172,25 @@ def test_trained_flagship_long_horizon_borders():
 
 
 @pytest.mark.slow
-def test_trained_small_drift_template_update_wins():
-    """Online template update (config.template_update_*) earns its keep on
-    the drift world: the target fades to ~40% brightness over the
-    sequence; the static template degrades while the updated one keeps
-    IoU high. Flagship-scale numbers: 0.663 vs 0.894 over 3x400 frames
-    (docs/ARCHITECTURE.md); this gate pins the small preset's ordering on
-    a compressed version."""
+def test_trained_small_drift_tail_no_collapse():
+    """Deep-fade drift gate: the target fades to ~40% brightness over the
+    sequence and BOTH template policies must hold the faded tail.
+
+    History: this gate originally asserted "update wins by >0.05" — the
+    pre-fade-augmentation ordering (static degrades on drift, online
+    update tracks it; flagship-scale: 0.663 vs 0.894 over 3x400 frames,
+    docs/ARCHITECTURE.md).  The occlusion-balanced fine-tune then
+    regressed the tail to 0.353/0.237 (gray occlusion negatives teach
+    "dark target = occluded"), and the fix — fade_frac augmentation
+    (template/search brightness mismatch with visible=1) — made the
+    STATIC template fade-robust across the world's whole fade range
+    (the renderer clamps fade at 0.25x; training covers 0.30-1.0x), so
+    the >0.05 ordering is gone by design, not by defect (0.862/0.874
+    measured).  What this gate pins now is the property that actually
+    regressed: no deep-fade tail collapse, and the update machinery is
+    never harmful.  The update-WINS demonstration lives at flagship
+    scale (not fade-trained) via eval_tracking --scenario drift
+    --template-update."""
     import dataclasses
 
     params = weights.load_npz(CKPT, vittrack.init_params(
@@ -200,6 +212,7 @@ def test_trained_small_drift_template_update_wins():
     iou_static = run(SMALL)
     iou_updated = run(dataclasses.replace(
         SMALL, template_update_enabled=True))
-    assert iou_updated > iou_static + 0.05, (
-        f"update {iou_updated:.3f} vs static {iou_static:.3f}")
-    assert iou_updated > 0.45, f"updated tail IoU {iou_updated:.3f}"
+    assert iou_static > 0.75, f"static tail collapsed: {iou_static:.3f}"
+    assert iou_updated > 0.75, f"updated tail collapsed: {iou_updated:.3f}"
+    assert iou_updated > iou_static - 0.05, (
+        f"update harmful: {iou_updated:.3f} vs static {iou_static:.3f}")
