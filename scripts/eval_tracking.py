@@ -221,7 +221,14 @@ def summarize(scenario: str, rows: np.ndarray, thr: float) -> dict:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="corr-tiny", choices=sorted(PRESETS))
-    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--checkpoint", default="",
+                    help="weights npz; default: the preset's shipped asset "
+                         "(assets/weights_*.npz) when one exists — pass "
+                         "--random-init for untrained weights")
+    ap.add_argument("--random-init", action="store_true",
+                    help="evaluate PRNG-initialised weights (the old "
+                         "implicit behaviour of an empty --checkpoint; "
+                         "useful only as a sanity floor)")
     ap.add_argument("--scenario", default="basic",
                     help=f"one of {SCENARIOS + ('all',)}, or a "
                          "'+'-composition like occlusion+distractor")
@@ -283,9 +290,22 @@ def main(argv=None) -> int:
 
         cfg = dataclasses.replace(cfg, template_update_enabled=True)
     params = vittrack.init_params(jax.random.PRNGKey(0), cfg)
+    if not args.checkpoint and not args.random_init:
+        # Default to the preset's shipped asset: evaluating silently-random
+        # weights is a footgun (IoU ~0.01 that looks like a regression).
+        # corr-tiny is training-free by design and stays PRNG-initialised.
+        shipped = {
+            "small": "assets/weights_small_synthetic.npz",
+            "vittrack-t": "assets/weights_vittrack_t_synthetic.npz",
+        }.get(args.preset, "")
+        if shipped and os.path.exists(shipped):
+            args.checkpoint = shipped
     if args.checkpoint:
         params = weights.load_npz(args.checkpoint, params)
         print(f"loaded {args.checkpoint}")
+    elif args.preset != "corr-tiny":
+        print("WARNING: evaluating PRNG-initialised weights "
+              "(--random-init)", file=sys.stderr)
 
     if args.objects > 1:
         # Multi-object mode: every rendered patch (primary + lookalike
