@@ -166,6 +166,15 @@ class SyntheticSource:
       std S applied to the whole frame (IR cameras — the reference's
       actual input, pipeline_ir.rs:27-41 — are noisy); deterministic per
       (seed, frame).
+    * ``morph_rate=M`` — STRUCTURAL appearance drift: the target's
+      texture linearly cross-fades toward a second patch of a different
+      construction family (fraction M per frame, clamped at 1.0).
+      Unlike ``appearance_drift`` (brightness-only, trainable away with
+      fade augmentation), no static template survives a full texture
+      replacement — this is the regime the online template update
+      (config.template_update_*) exists for: each per-frame step is
+      small, so a confident-frame re-embed tracks the morph while the
+      frame-0 template correlates with a texture that no longer exists.
     """
 
     def __init__(self, width: int = 640, height: int = 512, fps: int = 60,
@@ -176,6 +185,7 @@ class SyntheticSource:
                  occlusion: Optional[Tuple[int, int]] = None,
                  n_distractors: int = 0, shake_px: float = 0.0,
                  rotation_dpf: float = 0.0, noise_sigma: float = 0.0,
+                 morph_rate: float = 0.0,
                  patch_style: str = "quad", bg_style: str = "smooth",
                  mask_style: str = "none", edge_fade: float = 0.0):
         assert fmt in ("rgb", "nv12", "yuy2")
@@ -256,6 +266,27 @@ class SyntheticSource:
             stripe = ((t // (period / 2)) % 2).astype(np.float32)
             patch = c0 * (1 - stripe[..., None]) + c1 * stripe[..., None]
         self.patch = np.clip(patch, 0, 255).astype(np.uint8)
+        # Texture-morph endpoint: a patch from a DIFFERENT construction
+        # family (grad <-> stripes — both borderless, so the morph also
+        # dissolves any learned bright-frame cue).  Dedicated rng stream:
+        # default scenes stay bit-identical when morph is off.
+        self.morph_rate = float(morph_rate)
+        self._morph_patch = None
+        if self.morph_rate > 0.0:
+            mrng = np.random.default_rng(seed + 55_009)
+            c0 = mrng.uniform(0, 255, 3).astype(np.float32)
+            c1 = mrng.uniform(0, 255, 3).astype(np.float32)
+            ang = mrng.uniform(0, 2 * np.pi)
+            if patch_style == "grad":
+                period = float(mrng.integers(6, 17))
+                t = np.cos(ang) * xx + np.sin(ang) * yy
+                stripe = ((t // (period / 2)) % 2).astype(np.float32)
+                mp = c0 * (1 - stripe[..., None]) + c1 * stripe[..., None]
+            else:
+                t = (np.cos(ang) * xx + np.sin(ang) * yy).astype(np.float32)
+                t = (t - t.min()) / max(t.max() - t.min(), 1e-6)
+                mp = c0 * (1 - t[..., None]) + c1 * t[..., None]
+            self._morph_patch = np.clip(mp, 0, 255).astype(np.uint8)
         # Lookalike distractors: same construction recipe, different draws.
         self._distractors = []
         for _ in range(n_distractors):
@@ -377,6 +408,31 @@ class SyntheticSource:
             self._patch_cache[key] = cached
         return cached
 
+    def morph_frac_at(self, i: int) -> float:
+        """Texture cross-fade fraction at frame ``i`` (0 = original)."""
+        return min(1.0, self.morph_rate * i) if self.morph_rate else 0.0
+
+    def _target_patch_at(self, size: int, i: int) -> np.ndarray:
+        """Target patch at ``size`` px including the frame-``i`` texture
+        morph (``morph_rate``); falls back to the static patch."""
+        patch = self._patch_at(size)
+        m = self.morph_frac_at(i)
+        if m <= 0.0:
+            return patch
+        key = ("morphB", size)
+        mb = self._patch_cache.get(key)
+        if mb is None:
+            mp = self._morph_patch
+            mb = (mp if size == mp.shape[0] else
+                  np.clip(np.round(_bilinear_resize_f32(mp, size)),
+                          0, 255).astype(np.uint8))
+            if len(self._patch_cache) > 64:
+                self._patch_cache.clear()
+            self._patch_cache[key] = mb
+        return np.clip(np.round((1.0 - m) * patch.astype(np.float32)
+                                + m * mb.astype(np.float32)),
+                       0, 255).astype(np.uint8)
+
     def _alpha_at(self, size: int) -> Optional[np.ndarray]:
         """Target alpha mask at ``size`` px (None = opaque rectangle).
         Binary silhouette for ellipse/diamond; ``edge_fade`` f ramps alpha
@@ -447,7 +503,7 @@ class SyntheticSource:
         w = h = max(8, int(round(self.obj_size * scale)))
         xi = max(0, min(self.width - w, int(round(x))))
         yi = max(0, min(self.height - h, int(round(y))))
-        patch = self._patch_at(w)
+        patch = self._target_patch_at(w, i)
         if self.appearance_drift:
             fade = fade * max(0.25, 1.0 - self.appearance_drift * i)
         if fade != 1.0:
@@ -501,7 +557,7 @@ class SyntheticSource:
         for j in range(len(self._distractors)):       # under the target
             dx, dy = self._distractor_pos(j, i)
             self._paste(img, self._patch_at(self.obj_size, j), dx, dy)
-        patch = self._patch_at(int(w))
+        patch = self._target_patch_at(int(w), i)
         if self.appearance_drift:
             fade = max(0.25, 1.0 - self.appearance_drift * i)
             patch = (patch.astype(np.float32) * fade).astype(np.uint8)

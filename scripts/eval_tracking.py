@@ -49,7 +49,7 @@ PRESETS = {
 }
 
 SCENARIOS = ("basic", "scale", "occlusion", "distractor", "shake",
-             "drift", "rotation", "noise", "heldout")
+             "drift", "morph", "rotation", "noise", "heldout")
 
 
 def iou(a, b):
@@ -86,6 +86,13 @@ def make_source(scenario: str, seq: int, args) -> object:
             # ~frame 375 — the regime the online template update
             # (--template-update) exists for.
             kw.update(appearance_drift=0.002)
+        elif part == "morph":
+            # Structural appearance drift: the target's texture linearly
+            # cross-fades into a different construction family (full
+            # replacement by frame 400).  Brightness/fade training cannot
+            # cover this — it is the regime where the online template
+            # update (--template-update) genuinely earns its keep.
+            kw.update(morph_rate=0.0025)
         elif part == "rotation":
             # In-plane spin: 1.5 deg/frame = a full revolution every 240
             # frames; the appearance leaves the frame-0 template entirely

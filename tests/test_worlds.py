@@ -337,3 +337,41 @@ def test_noise_world_deterministic_additive():
     np.testing.assert_array_equal(
         SyntheticSource(320, 256, obj_size=48, seed=2,
                         noise_sigma=0.0).frame_rgb(5), clean.frame_rgb(5))
+
+
+def test_morph_world_structural_crossfade():
+    """morph_rate cross-fades the target texture into a different
+    construction family: frame 0 is bit-identical to the default world,
+    the morph endpoint is a full texture replacement (not a brightness
+    scale of the original), intermediate frames are exact linear blends,
+    gt is unchanged, and morph_rate=0 draws nothing extra from the rng."""
+    src = SyntheticSource(320, 256, obj_size=48, seed=4, morph_rate=0.004)
+    base = SyntheticSource(320, 256, obj_size=48, seed=4)
+    # morph off -> bit-identical world (dedicated rng stream)
+    np.testing.assert_array_equal(
+        SyntheticSource(320, 256, obj_size=48, seed=4,
+                        morph_rate=0.0).frame_rgb(7), base.frame_rgb(7))
+    # frame 0: morph fraction 0, identical to the default world
+    np.testing.assert_array_equal(src.frame_rgb(0), base.frame_rgb(0))
+    assert src.morph_frac_at(0) == 0.0
+    assert src.morph_frac_at(125) == 0.5
+    assert src.morph_frac_at(10_000) == 1.0       # clamped
+    # gt is appearance-only
+    for i in (0, 50, 250):
+        assert src.bbox_at(i) == base.bbox_at(i)
+    # full morph (i >= 250): the rendered target IS the morph patch — a
+    # different family (borderless), not any brightness scale of the
+    # original (the bright 250-border would survive a pure fade).
+    x, y, w, h = src.bbox_at(300)
+    crop = src.frame_rgb(300)[int(round(y)):int(round(y)) + 48,
+                              int(round(x)):int(round(x)) + 48]
+    np.testing.assert_array_equal(crop, src._target_patch_at(48, 300))
+    assert not np.array_equal(crop, base.patch)
+    border_mean = crop[:3].mean()                 # old border was ~250
+    assert border_mean < 200.0
+    # intermediate frame: exact linear blend of the two endpoints
+    mid = src._target_patch_at(48, 125)
+    a = base.patch.astype(np.float32)
+    b = src._target_patch_at(48, 10_000).astype(np.float32)
+    np.testing.assert_array_equal(
+        mid, np.clip(np.round(0.5 * a + 0.5 * b), 0, 255).astype(np.uint8))
