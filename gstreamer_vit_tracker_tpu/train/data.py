@@ -230,6 +230,19 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
     u = rng.random()
     if u < full_occ_frac:
         # Full occlusion: slab bigger than the target, centred on it.
+        # MEASURED DEAD END (round 3, do not revisit without new data):
+        # "diversified" negatives — slabs at randomized base brightness
+        # 30-160 plus darkened TEXTURED patches from another scene —
+        # were supposed to break the brightness shortcut that fade_frac
+        # positives erode.  A/B at identical hyperparams (2000 steps,
+        # lr 1e-4, full-occ 0.35, fade 0.1, flagship warm-start): they
+        # sharpen the hidden-confidence collapse (hidden max 0.73 ->
+        # 0.34) but over-suppress confidence on legitimately dark
+        # targets — deep-fade drift fell 0.948/0-lost -> 0.916/20-lost
+        # and overall confidence dropped ~0.96 -> ~0.65.  The plain
+        # mid-gray slab at full-occ-frac 0.35 + fade-frac 0.1 already
+        # restores the committed collapse (hidden_below_thr_frac 0.944)
+        # while keeping deep drift at 0.948.
         ow, oh = int(round(1.3 * w)), int(round(1.3 * h))
         occ = np.clip(rng.normal(0, 8, (oh, ow, 3))
                       + rng.integers(70, 110), 0, 255).astype(np.uint8)
