@@ -1,0 +1,278 @@
+"""Multi-stream tracking service (serve/): protocol, engine, server.
+
+The serving tier batches dynamic client streams into ONE static-shape
+jitted step (serve/engine.py) — these tests pin the protocol framing, the
+slot lifecycle (alloc/init/release/reuse/exhaustion), trajectory parity
+between a served stream and the direct in-process tracker, concurrent
+clients coalescing into shared ticks, and the fault-recovery contract
+(snapshot restore + lost-slot re-init signalling).
+"""
+
+import socket
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from gstreamer_vit_tracker_tpu.config import ModelConfig
+from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
+from gstreamer_vit_tracker_tpu.models import vittrack
+from gstreamer_vit_tracker_tpu.serve import (SlotEngine, TrackClient,
+                                             TrackServer, TrackServiceError,
+                                             protocol)
+from gstreamer_vit_tracker_tpu.tracker import core
+from gstreamer_vit_tracker_tpu.tracker.multi import _batched_cfg
+
+CORR = ModelConfig(template_size=64, search_size=128, patch_size=8,
+                   embed_dim=64, depth=0, num_heads=2, head_mode="corr",
+                   dtype="float32")
+W, H = 192, 160
+
+
+def iou(a, b):
+    ix = max(0.0, min(a[0] + a[2], b[0] + b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[1] + a[3], b[1] + b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
+@pytest.fixture(scope="module")
+def corr_params():
+    return vittrack.init_params(jax.random.PRNGKey(42), CORR)
+
+
+@pytest.fixture()
+def server(corr_params):
+    engine = SlotEngine(corr_params, CORR, slots=3, frame_format="rgb",
+                        snapshot_every=1000)
+    srv = TrackServer(engine, H, W, port=0, batch_window_ms=1.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _source(seed):
+    return SyntheticSource(W, H, obj_size=40, seed=seed, speed=2.0)
+
+
+# ---------------------------------------------------------------------------
+# Protocol
+# ---------------------------------------------------------------------------
+
+def test_protocol_roundtrip():
+    a, b = socket.socketpair()
+    hdr = {"op": "update", "slot": 3}
+    payload = bytes(range(256)) * 7
+    protocol.send_msg(a, hdr, payload)
+    got_hdr, got_payload = protocol.recv_msg(b)
+    assert got_hdr == hdr and got_payload == payload
+    a.close(), b.close()
+
+
+@pytest.mark.parametrize("fmt", ["nv12", "yuy2", "rgb"])
+def test_frame_bytes_roundtrip(fmt, rng):
+    h, w = 32, 48
+    if fmt == "nv12":
+        frame = (rng.integers(0, 256, (h, w), dtype=np.uint8),
+                 rng.integers(0, 256, (h // 2, w // 2, 2), dtype=np.uint8))
+    elif fmt == "yuy2":
+        frame = rng.integers(0, 256, (h, w * 2), dtype=np.uint8)
+    else:
+        frame = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = protocol.frame_to_bytes(fmt, frame)
+    assert len(raw) == protocol.frame_nbytes(fmt, h, w)
+    back = protocol.frame_from_bytes(fmt, h, w, raw)
+    if fmt == "nv12":
+        assert (back[0] == frame[0]).all() and (back[1] == frame[1]).all()
+    else:
+        assert (back == frame).all()
+
+
+def test_frame_bytes_size_mismatch_raises():
+    with pytest.raises(ValueError):
+        protocol.frame_from_bytes("rgb", 8, 8, b"\0" * 10)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+def test_engine_inactive_slot_held_bitexact(corr_params):
+    eng = SlotEngine(corr_params, CORR, slots=2, frame_format="rgb")
+    src = _source(1)
+    f0 = src.frame_rgb(0)
+    eng.init_slot(eng.alloc(), f0, src.bbox_at(0))
+    eng.init_slot(eng.alloc(), f0, src.bbox_at(0))
+    before = jax.device_get(eng.state)
+    frames = np.stack([src.frame_rgb(1)] * 2)
+    packed = eng.step(frames, np.array([True, False]))
+    after = jax.device_get(eng.state)
+    # Slot 1 saw no fresh frame: every leaf held bit-for-bit.
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        assert (np.asarray(b)[1] == np.asarray(a)[1]).all()
+    assert packed.shape == (2, 5) and np.isfinite(packed[0]).all()
+
+
+def test_engine_alloc_exhaustion_and_reuse(corr_params):
+    eng = SlotEngine(corr_params, CORR, slots=2, frame_format="rgb")
+    s0, s1 = eng.alloc(), eng.alloc()
+    assert {s0, s1} == {0, 1}
+    with pytest.raises(RuntimeError):
+        eng.alloc()
+    eng.release(s0)
+    assert eng.alloc() == s0
+
+
+# ---------------------------------------------------------------------------
+# Server end-to-end
+# ---------------------------------------------------------------------------
+
+def test_hello_reports_geometry(server):
+    with TrackClient(server.host, server.port) as c:
+        assert c.info["format"] == "rgb"
+        assert (c.info["height"], c.info["width"]) == (H, W)
+        assert c.info["slots"] == 3
+        assert c.info["frame_nbytes"] == H * W * 3
+
+
+def test_served_stream_matches_direct_tracker(server, corr_params):
+    """A served trajectory equals the direct in-process batched-path
+    tracker (band-off config, the same semantics the engine runs)."""
+    src = _source(3)
+    cfg = _batched_cfg(CORR)
+    st = core.init(corr_params, src.frame_rgb(0),
+                   np.asarray(src.bbox_at(0), np.float32), cfg, "rgb")
+    with TrackClient(server.host, server.port) as c:
+        c.init(src.frame_rgb(0), src.bbox_at(0))
+        for i in range(1, 12):
+            frame = src.frame_rgb(i)
+            got_bbox, got_score = c.update(frame)
+            st, want_bbox, want_score = core.update(
+                corr_params, st, frame, cfg, "rgb", fused=False)
+            np.testing.assert_allclose(got_bbox, np.asarray(want_bbox),
+                                       atol=1e-2)
+            assert abs(got_score - float(want_score)) < 1e-3
+        c.release()
+
+
+def test_two_clients_track_concurrently(server):
+    """Two streams join at different times, update from separate threads
+    (coalescing into shared batched ticks), and both follow their targets."""
+    results = {}
+
+    def run(seed, start_delay_updates):
+        src = _source(seed)
+        with TrackClient(server.host, server.port) as c:
+            c.init(src.frame_rgb(0), src.bbox_at(0))
+            ious = []
+            for i in range(1, 25):
+                bbox, _score = c.update(src.frame_rgb(i))
+                ious.append(iou(bbox, src.bbox_at(i)))
+            results[seed] = np.mean(ious)
+            c.release()
+
+    t1 = threading.Thread(target=run, args=(5, 0))
+    t2 = threading.Thread(target=run, args=(9, 5))
+    t1.start(), t2.start()
+    t1.join(120), t2.join(120)
+    assert set(results) == {5, 9}
+    for seed, mean_iou in results.items():
+        assert mean_iou > 0.6, f"seed {seed}: mean IoU {mean_iou:.3f}"
+    with TrackClient(server.host, server.port) as c:
+        stats = c.stats()
+    assert stats["ticks"] >= 1 and stats["faults"] == 0
+
+
+def test_slot_exhaustion_then_release_reuse(server):
+    src = _source(1)
+    f0, b0 = src.frame_rgb(0), src.bbox_at(0)
+    clients = [TrackClient(server.host, server.port) for _ in range(3)]
+    try:
+        for c in clients:
+            c.init(f0, b0)
+        with TrackClient(server.host, server.port) as extra:
+            with pytest.raises(TrackServiceError):
+                extra.init(f0, b0)
+            clients[0].release()
+            assert extra.init(f0, b0) in range(3)
+    finally:
+        for c in clients:
+            c.close()
+
+
+def test_disconnect_frees_slots(server):
+    src = _source(1)
+    f0, b0 = src.frame_rgb(0), src.bbox_at(0)
+    c = TrackClient(server.host, server.port)
+    c.init(f0, b0)
+    c.close()
+    # The handler releases owned slots on disconnect; poll for it.
+    import time
+
+    for _ in range(100):
+        with TrackClient(server.host, server.port) as probe:
+            if probe.info["free"] == 3:
+                return
+        time.sleep(0.05)
+    pytest.fail("slot not freed after client disconnect")
+
+
+# ---------------------------------------------------------------------------
+# Fault recovery
+# ---------------------------------------------------------------------------
+
+def _inject_one_fault(engine):
+    real_step = engine.step
+    fired = {"n": 0}
+
+    def step(frames, active):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            raise RuntimeError("injected device fault")
+        return real_step(frames, active)
+
+    engine.step = step
+    return fired
+
+
+def test_fault_recovers_snapshotted_slot(server):
+    """A slot covered by a snapshot survives a device fault: one failed
+    update, then tracking continues (state restored from host copy)."""
+    src = _source(7)
+    with TrackClient(server.host, server.port) as c:
+        c.init(src.frame_rgb(0), src.bbox_at(0))   # first-init snapshot
+        bbox1, _ = c.update(src.frame_rgb(1))
+        _inject_one_fault(server.engine)
+        with pytest.raises(TrackServiceError) as ei:
+            c.update(src.frame_rgb(2))
+        assert not ei.value.reinit          # slot was in the snapshot
+        bbox3, score3 = c.update(src.frame_rgb(3))
+        assert np.isfinite(bbox3).all() and np.isfinite(score3)
+        # Post-recovery the track still follows the target.
+        for i in range(4, 10):
+            bbox, _ = c.update(src.frame_rgb(i))
+        assert iou(bbox, src.bbox_at(9)) > 0.5
+
+
+def test_fault_marks_unsnapshotted_slot_for_reinit(server):
+    """A slot initialised after the last snapshot is lost by recovery; the
+    server says so (reinit flag) and a fresh init restores service."""
+    src_a, src_b = _source(7), _source(8)
+    with TrackClient(server.host, server.port) as ca, \
+            TrackClient(server.host, server.port) as cb:
+        ca.init(src_a.frame_rgb(0), src_a.bbox_at(0))  # snapshot covers A
+        cb.init(src_b.frame_rgb(0), src_b.bbox_at(0))  # ...but not B
+        _inject_one_fault(server.engine)
+        with pytest.raises(TrackServiceError):
+            cb.update(src_b.frame_rgb(1))
+        with pytest.raises(TrackServiceError) as ei:
+            cb.update(src_b.frame_rgb(1))
+        assert ei.value.reinit
+        cb.init(src_b.frame_rgb(1), src_b.bbox_at(1))
+        bbox, _ = cb.update(src_b.frame_rgb(2))
+        assert iou(bbox, src_b.bbox_at(2)) > 0.3
+        # A survived throughout.
+        bbox_a, _ = ca.update(src_a.frame_rgb(1))
+        assert np.isfinite(bbox_a).all()
