@@ -77,24 +77,68 @@ class SlotEngine:
     donated buffer — the classic axon "TPU backend error")."""
 
     def __init__(self, params: Params, cfg: ModelConfig, slots: int,
-                 frame_format: str = "nv12", snapshot_every: int = 60):
+                 frame_format: str = "nv12", snapshot_every: int = 60,
+                 mesh=None):
         if frame_format not in ("nv12", "yuy2", "rgb"):
             raise ValueError(f"unknown frame format {frame_format!r}")
         self.cfg = cfg
         self.slots = slots
         self.frame_format = frame_format
         self.snapshot_every = snapshot_every
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip serving: the slot axis shards over the mesh 'data'
+            # axis (same layout as parallel/serving.py::ShardedStreamTracker
+            # — embarrassingly parallel, params replicated, no steady-state
+            # collectives); slot count must tile the axis.
+            ndev = mesh.devices.size
+            if slots % ndev != 0:
+                raise ValueError(f"slots={slots} must be a multiple of the "
+                                 f"mesh size {ndev}")
         self._host_params = jax.device_get(params)
-        self.params = jax.tree.map(jnp.asarray, params)
+        self.params = self._place_params(params)
         z = zeros_state(cfg)
-        self.state: TrackState = jax.tree.map(
-            lambda x: jnp.zeros((slots, 1) + x.shape, x.dtype), z)
+        self.state: TrackState = self._place_state(jax.tree.map(
+            lambda x: np.zeros((slots, 1) + x.shape, x.dtype), z))
         # Host-side occupancy: which slots hold a live track.  Device-side
         # liveness is the per-tick active mask built from this.
         self.occupied = np.zeros(slots, bool)
         self._ticks = 0
         self._snapshot = None    # (host TrackState, occupancy at snapshot)
         self.lock = threading.Lock()
+
+    # -- placement (single device, or slot axis over the mesh 'data' axis) --
+
+    def _place_params(self, params):
+        if self.mesh is None:
+            return jax.tree.map(jnp.asarray, params)
+        from ..parallel.sharding import replicate
+
+        return replicate(jax.tree.map(jnp.asarray, params), self.mesh)
+
+    def _place_state(self, state):
+        if self.mesh is None:
+            return jax.tree.map(jnp.asarray, state)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        return jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), NamedSharding(
+                self.mesh, P(DATA_AXIS, *([None] * (np.ndim(x) - 1))))),
+            state)
+
+    def _place_leading(self, x):
+        """Shard a (S, ...) array's leading axis over the mesh (identity on
+        a single device)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        return jax.device_put(jnp.asarray(x), NamedSharding(
+            self.mesh, P(DATA_AXIS, *([None] * (np.ndim(x) - 1)))))
 
     # -- slot lifecycle ----------------------------------------------------
 
@@ -129,11 +173,17 @@ class SlotEngine:
         self._ticks += 1
         if self.snapshot_every and self._ticks % self.snapshot_every == 0:
             self.snapshot()
-        active = jnp.asarray((tick_active & self.occupied)[:, None])
+        active = self._place_leading((tick_active & self.occupied)[:, None])
         self.state, packed = _step_packed(
-            self.params, self.state, _as_device(frames, self.frame_format),
+            self.params, self.state, self._place_frames(frames),
             active, self.cfg, self.frame_format)
         return np.asarray(packed)
+
+    def _place_frames(self, frames):
+        if self.frame_format == "nv12":
+            y, uv = frames
+            return self._place_leading(y), self._place_leading(uv)
+        return self._place_leading(frames)
 
     # -- fault recovery ------------------------------------------------------
 
@@ -145,16 +195,16 @@ class SlotEngine:
         slot indices that could NOT be restored (initialised after the
         last snapshot, or never snapshotted) — the server reports these
         to their clients as re-init-required."""
-        self.params = jax.tree.map(jnp.asarray, self._host_params)
+        self.params = self._place_params(self._host_params)
         if self._snapshot is None:
             lost = np.flatnonzero(self.occupied)
             z = zeros_state(self.cfg)
-            self.state = jax.tree.map(
-                lambda x: jnp.zeros((self.slots, 1) + x.shape, x.dtype), z)
+            self.state = self._place_state(jax.tree.map(
+                lambda x: np.zeros((self.slots, 1) + x.shape, x.dtype), z))
             self.occupied[:] = False
             return [int(i) for i in lost]
         state, occ = self._snapshot
-        self.state = jax.tree.map(jnp.asarray, state)
+        self.state = self._place_state(state)
         lost = np.flatnonzero(self.occupied & ~occ)
         self.occupied = occ.copy()
         return [int(i) for i in lost]

@@ -125,6 +125,41 @@ def test_engine_alloc_exhaustion_and_reuse(corr_params):
     assert eng.alloc() == s0
 
 
+def test_engine_on_mesh_shards_slot_axis(corr_params):
+    """Mesh serving: the slot axis shards over the 8-device 'data' axis
+    (ShardedStreamTracker layout), slot init + masked tick + fault
+    recovery all work on sharded state."""
+    from gstreamer_vit_tracker_tpu.parallel import make_mesh
+
+    mesh = make_mesh((8, 1))
+    eng = SlotEngine(corr_params, CORR, slots=8, frame_format="rgb",
+                     mesh=mesh)
+    src = _source(2)
+    f0 = src.frame_rgb(0)
+    for _ in range(2):
+        eng.init_slot(eng.alloc(), f0, src.bbox_at(0))
+    assert len(eng.state.z_tok.sharding.device_set) == 8
+    frames = np.stack([src.frame_rgb(1)] * 8)
+    active = np.zeros(8, bool)
+    active[:2] = True
+    packed = eng.step(frames, active)
+    assert packed.shape == (8, 5) and np.isfinite(packed[:2]).all()
+    # Fault recovery re-places sharded state from the host snapshot.
+    lost = eng.recover()
+    assert lost == [1]      # slot 1 was initialised after the snapshot
+    assert len(eng.state.z_tok.sharding.device_set) == 8
+    packed2 = eng.step(frames, active)
+    assert np.isfinite(packed2[0]).all()
+
+
+def test_engine_mesh_slot_divisibility(corr_params):
+    from gstreamer_vit_tracker_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError):
+        SlotEngine(corr_params, CORR, slots=6, frame_format="rgb",
+                   mesh=make_mesh((8, 1)))
+
+
 # ---------------------------------------------------------------------------
 # Server end-to-end
 # ---------------------------------------------------------------------------
