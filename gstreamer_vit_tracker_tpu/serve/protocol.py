@@ -93,12 +93,33 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return b"".join(chunks)
 
 
-def recv_msg(sock: socket.socket) -> Tuple[Dict, bytes]:
+def recv_msg(sock: socket.socket,
+             max_body: int = MAX_BODY) -> Tuple[Dict, bytes]:
+    """Receive one framed message.
+
+    ``max_body`` bounds the declared body length BEFORE any allocation: a
+    garbage 4-byte header from a buggy/hostile client raises ValueError
+    immediately instead of triggering a multi-GB read.  Servers should pass
+    a bound derived from their actual frame geometry (TrackServer does:
+    frame_nbytes + header slack), not the permissive module default.
+    A body with no header/payload separator or a non-JSON header also
+    raises ValueError — callers treat any ValueError as a protocol
+    violation and close the connection.
+    """
     raw = _recv_exact(sock, 4)
     (body_len,) = struct.unpack("<I", raw)
-    if body_len > MAX_BODY:
-        raise ValueError(f"message body {body_len} exceeds MAX_BODY")
+    if body_len > min(max_body, MAX_BODY):
+        raise ValueError(
+            f"declared message body {body_len} exceeds limit "
+            f"{min(max_body, MAX_BODY)}")
     body = _recv_exact(sock, body_len)
-    sep = body.index(b"\n")
-    header = json.loads(body[:sep].decode())
+    sep = body.find(b"\n")
+    if sep < 0:
+        raise ValueError("malformed message: no header separator")
+    try:
+        header = json.loads(body[:sep].decode())
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"malformed message header: {e}") from e
+    if not isinstance(header, dict):
+        raise ValueError("malformed message header: not a JSON object")
     return header, body[sep + 1:]

@@ -25,6 +25,7 @@ framework extension that makes TPU batch-serving externally reachable.
 from __future__ import annotations
 
 import socket
+import sys
 import threading
 import time
 from typing import Dict, Optional
@@ -56,6 +57,12 @@ class TrackServer:
         self.h, self.w = height, width
         self.batch_window_s = batch_window_ms / 1000.0
         self.update_timeout_s = update_timeout_s
+        # Wire-protocol body bound derived from the ACTUAL frame geometry
+        # (one frame payload + generous JSON-header slack) — a malformed
+        # length prefix is rejected before any allocation (protocol.recv_msg)
+        # instead of trusting the permissive module-level MAX_BODY.
+        self.max_body = protocol.frame_nbytes(
+            engine.frame_format, height, width) + 4096
 
         fmt = engine.frame_format
         s = engine.slots
@@ -128,8 +135,16 @@ class TrackServer:
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             while self._running:
                 try:
-                    header, payload = protocol.recv_msg(conn)
-                except (ConnectionError, OSError, ValueError):
+                    header, payload = protocol.recv_msg(conn,
+                                                        max_body=self.max_body)
+                except (ConnectionError, OSError):
+                    return
+                except ValueError as e:
+                    # Protocol violation (garbage length prefix, non-JSON
+                    # header): log it and drop THIS connection; other
+                    # clients' handler threads are unaffected.
+                    print(f"[serve] protocol violation, closing connection: "
+                          f"{e}", file=sys.stderr)
                     return
                 reply, rpayload = self._dispatch(header, payload, owned)
                 try:

@@ -95,6 +95,61 @@ def test_frame_bytes_size_mismatch_raises():
         protocol.frame_from_bytes("rgb", 8, 8, b"\0" * 10)
 
 
+def test_recv_msg_rejects_oversize_declared_length():
+    """A garbage 4-byte length prefix is rejected BEFORE any body
+    allocation/read — no body bytes are ever sent here, so a recv_msg that
+    trusted the header would block forever instead of raising."""
+    a, b = socket.socketpair()
+    try:
+        a.sendall(b"\xff\xff\xff\xff")          # declares ~4.3 GB
+        with pytest.raises(ValueError, match="exceeds limit"):
+            protocol.recv_msg(b)
+        # And a server-style tight bound rejects a length that is legal
+        # under MAX_BODY but impossible for the negotiated frame geometry.
+        a.sendall((1 << 20).to_bytes(4, "little"))
+        with pytest.raises(ValueError, match="exceeds limit"):
+            protocol.recv_msg(b, max_body=4096)
+    finally:
+        a.close(), b.close()
+
+
+@pytest.mark.parametrize("body", [b"no separator at all",
+                                  b"not json\npayload",
+                                  b"[1,2,3]\npayload"])
+def test_recv_msg_rejects_malformed_header(body):
+    a, b = socket.socketpair()
+    try:
+        a.sendall(len(body).to_bytes(4, "little") + body)
+        with pytest.raises(ValueError, match="malformed"):
+            protocol.recv_msg(b)
+    finally:
+        a.close(), b.close()
+
+
+def test_malformed_header_closes_conn_server_keeps_serving(server):
+    """A client sending a garbage length prefix gets its connection closed;
+    the server keeps serving other clients (VERDICT r3 item 7)."""
+    bad = socket.create_connection((server.host, server.port), timeout=10)
+    try:
+        bad.sendall(b"\xff\xff\xff\xff" + b"junk")
+        bad.settimeout(10)
+        # Server closes the connection: EOF, or RST if our unread junk was
+        # still in its receive buffer at close time.
+        try:
+            assert bad.recv(1) == b""
+        except ConnectionResetError:
+            pass
+    finally:
+        bad.close()
+    # The serve/track path still works for a well-behaved client.
+    src = _source(1)
+    with TrackClient(server.host, server.port) as c:
+        c.init(src.frame_rgb(0), src.bbox_at(0))
+        bbox, score = c.update(src.frame_rgb(1))
+        assert np.isfinite(bbox).all() and np.isfinite(score)
+        c.release()
+
+
 # ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------
