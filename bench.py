@@ -6,9 +6,9 @@ bbox, with TrackState donated (HBM-resident) — on the flagship vittrack-t
 model over HBM-resident 1080p NV12 frames (the north-star configuration in
 BASELINE.json).  By default one invocation then runs compact versions of
 EVERY other BASELINE config — 16-stream batch, 8-object online-update,
-4K+HUD, 1080p RGB, YUY2 640x512 — so the driver's single run records all
-six numbers (per-frame host->device ingest remains opt-in via --ingest;
---headline-only restores the single-config run).
+4K+HUD, 1080p RGB, YUY2 640x512, the serve-tier SlotEngine tick rate, and
+per-frame host->device ingest — so the driver's single run records all
+eight numbers (--no-ingest / --headline-only trim the run).
 
 Steps are dispatched asynchronously back-to-back (the production serving
 shape: a pipelined feed with bounded in-flight frames, mirroring the
@@ -49,10 +49,20 @@ def main(argv=None) -> int:
     ap.add_argument("--objects", type=int, default=8,
                     help="N-object single-frame throughput with online "
                          "template update (config 3); 0 skips")
-    ap.add_argument("--ingest", action="store_true",
-                    help="also report ingest-included FPS: per-frame "
-                         "host->device 1080p NV12 transfer feeding the "
-                         "tracked step (double-buffered async device_put)")
+    ap.add_argument("--no-ingest", dest="ingest", action="store_false",
+                    default=True,
+                    help="skip the ingest config (reported BY DEFAULT since "
+                         "round 4: per-frame host->device 1080p NV12 "
+                         "transfer feeding the tracked step, double-buffered "
+                         "async device_put, plus raw h2d bandwidth — makes "
+                         "the device-resident framing of the headline "
+                         "machine-readable every round)")
+    ap.add_argument("--ingest", dest="ingest", action="store_true",
+                    help=argparse.SUPPRESS)   # pre-round-4 spelling
+    ap.add_argument("--serve-slots", type=int, default=16,
+                    help="slots for the serve-tier config (in-process "
+                         "SlotEngine tick rate, BASELINE config 4's serving "
+                         "analog); 0 skips")
     ap.add_argument("--loop-frames", type=int, default=100,
                     help="frames for the per-frame Python-loop latency "
                          "measurement (p50/p99)")
@@ -439,6 +449,42 @@ def main(argv=None) -> int:
         rwall = time.perf_counter() - t0
         result["h2d_mb_s"] = round(n_in * (h * w * 1.5) / rwall / 1e6, 1)
 
+    def _config_serve():
+        # Serve-tier config (VERDICT r3 item 3): in-process SlotEngine tick
+        # rate at S slots, 1080p NV12, every slot live.  This is the
+        # SERVICE shape — each tick is one donated batched step followed by
+        # a synchronous packed (S, 5) fetch that waiting clients block on,
+        # so unlike the scanned stream config the per-tick host round trip
+        # is part of the product (on the relay-attached dev TPU that RTT
+        # ~= sync_p50_ms dominates; a locally attached host sees the step
+        # cost).  Frames are device-resident (ingest is measured
+        # separately by the ingest config).
+        from gstreamer_vit_tracker_tpu.serve import SlotEngine
+
+        s = args.serve_slots
+        eng = SlotEngine(params, cfg, slots=s, frame_format="nv12",
+                         snapshot_every=0)
+        for i in range(s):
+            eng.init_slot(eng.alloc(),
+                          frames[i % args.pool], bbox0)
+        ys_s = jnp.stack([frames[i % args.pool][0] for i in range(s)])
+        uvs_s = jnp.stack([frames[(i + 1) % args.pool][1] for i in range(s)])
+        jax.block_until_ready((ys_s, uvs_s))
+        active = np.ones(s, bool)
+        eng.step((ys_s, uvs_s), active)     # compile + warm
+        ticks = max(10, min(50, n // 10))
+
+        def run_serve():
+            t0 = time.perf_counter()
+            for _ in range(ticks):
+                eng.step((ys_s, uvs_s), active)
+            return time.perf_counter() - t0
+
+        swall = timed_runs(run_serve)
+        result["serve_fps"] = round(ticks * s / swall, 1)
+        result["serve_ticks_per_s"] = round(ticks / swall, 1)
+        result["serve_slots"] = s
+
     if not args.headline_only:
         if args.streams:
             _optional("stream", _config_streams)
@@ -447,6 +493,8 @@ def main(argv=None) -> int:
         _optional("uhd", _config_uhd)
         _optional("rgb", _config_rgb)
         _optional("yuy2", _config_yuy2)
+        if args.serve_slots:
+            _optional("serve", _config_serve)
     if args.ingest:
         _optional("ingest", _config_ingest)
 
