@@ -39,7 +39,38 @@ from .import_onnx import (_DTYPE_TO_ONNX, _emit_len, _emit_tag,
 
 Params = Dict[str, Any]
 
-__all__ = ["export_vittrack", "build_graph"]
+__all__ = ["export_vittrack", "build_graph", "CV2_50_BLOB_SLOPE",
+           "CV2_50_BLOB_MEAN", "cv2_50_compensation"]
+
+# OpenCV 5.0 TrackerVit blob convention, measured to f32 precision with
+# spy graphs driven through cv2.TrackerVit itself (compat/cv2vit.py holds
+# the measurement code; docs/EXPORT.md the methodology):
+#
+#     blob_c = SLOPE_c * (x_c / 255 - MEAN_c)        (no channel swap)
+#
+# The zero crossings land EXACTLY on the documented per-channel means; the
+# slopes are near -but not equal to- the naive sign-flipped 1/sum(std)
+# model assumed in round 3 (that model was 0.5-1.3% off per channel, a
+# measurable part of the old 0.948 trajectory-agreement residual).  The
+# slopes fit no clean closed form of mean/std we could find; they are
+# pinned empirically and re-verified at export time against the installed
+# cv2 (scripts/export_vittrack_onnx.py self-check).
+CV2_50_BLOB_SLOPE = (1.4943686, -1.4617397, -1.4682663)
+CV2_50_BLOB_MEAN = (0.485, 0.456, 0.406)
+
+
+def cv2_50_compensation(cfg) -> np.ndarray:
+    """Per-channel multiplier that maps cv2 5.0's quirked blob back to the
+    trained distribution: blob_c / (SLOPE_c * std_c) = (x/255 - m_c)/std_c
+    (requires the model's norm_mean to equal the cv2 means, which the zoo
+    contract fixes)."""
+    s = np.asarray(cfg.norm_std, np.float64)
+    k = np.asarray(CV2_50_BLOB_SLOPE, np.float64)
+    if tuple(np.round(cfg.norm_mean, 3)) != CV2_50_BLOB_MEAN:
+        raise ValueError(
+            f"cv2-5.0 export needs norm_mean {CV2_50_BLOB_MEAN}, "
+            f"model has {tuple(cfg.norm_mean)}")
+    return (1.0 / (k * s)).astype(np.float32)
 
 
 def _vint64(v: int) -> bytes:
@@ -286,16 +317,15 @@ def build_graph(params: Params, cfg,
     * ``"standard"`` — inputs are correctly normalised crops
       ((x/255 - mean_c)/std_c per channel), the documented zoo contract.
     * ``"cv2-5.0"`` — compensate OpenCV 5.0's TrackerVit blob quirk,
-      measured empirically with spy graphs (channel-pooling nets driven
-      through TrackerVit itself): cv2 feeds
-      ch0 = (x0/255 - mean0)/SUM(std) but ch1/2 SIGN-FLIPPED,
-      ch_c = (mean_c - x_c/255)/SUM(std).  Per-channel means are intact
-      and the scale is the shared std-sum, so one zero-bias per-channel
-      Mul ((S/s0, -S/s1, -S/s2), S = sum(std)) restores the trained
-      distribution exactly.  Without it, high-contrast targets still
-      track (LayerNorm absorbs input-affine error) but low-contrast
-      (held-out) targets collapse — the real zoo model suffers the same
-      quirk under cv2 5.0.
+      measured to f32 precision with spy graphs driven through TrackerVit
+      itself (see CV2_50_BLOB_SLOPE above, compat/cv2vit.py for the
+      measurement): cv2 feeds blob_c = SLOPE_c * (x_c/255 - mean_c) with
+      ch1/2 slopes NEGATIVE and all three magnitudes ~1.46-1.49 (close to
+      but not exactly 1/sum(std)).  One zero-bias per-channel Mul
+      (1/(SLOPE_c*std_c)) restores the trained distribution exactly.
+      Without it, high-contrast targets still track (LayerNorm absorbs
+      input-affine error) but low-contrast (held-out) targets collapse —
+      the real zoo model suffers the same quirk under cv2 5.0.
     """
     bb = params["backbone"]
     d = cfg.embed_dim
@@ -308,10 +338,7 @@ def build_graph(params: Params, cfg,
     z_in = g.input("template", [1, 3, cfg.template_size, cfg.template_size])
     x_in = g.input("search", [1, 3, cfg.search_size, cfg.search_size])
     if input_transform == "cv2-5.0":
-        s = np.asarray(cfg.norm_std, np.float32)
-        ssum = float(s.sum())
-        comp = np.asarray([ssum / s[0], -ssum / s[1], -ssum / s[2]],
-                          np.float32).reshape(1, 3, 1, 1)
+        comp = cv2_50_compensation(cfg).reshape(1, 3, 1, 1)
         z_in = g.node("Mul", [z_in, g.init(comp, "cv2comp")])
         x_in = g.node("Mul", [x_in, g.init(comp, "cv2comp")])
     elif input_transform != "standard":

@@ -35,11 +35,38 @@ def main(argv=None) -> int:
     ap.add_argument("--target", default="standard",
                     choices=("standard", "cv2-5.0"),
                     help="'cv2-5.0' bakes in the inverse of OpenCV 5.0 "
-                         "TrackerVit's blob quirk (sign-flipped ch1/2, "
-                         "shared std-sum scale) so cv2's own pipeline "
-                         "feeds the net the trained distribution — use "
-                         "it for files driven by cv2.TrackerVit")
+                         "TrackerVit's measured blob quirk (sign-flipped "
+                         "ch1/2, per-channel slopes ~1.46-1.49 — see "
+                         "models/export_onnx.py::CV2_50_BLOB_SLOPE) so "
+                         "cv2's own pipeline feeds the net the trained "
+                         "distribution — use it for files driven by "
+                         "cv2.TrackerVit")
+    ap.add_argument("--skip-cv2-check", action="store_true",
+                    help="skip the export-time self-check that measures "
+                         "the INSTALLED cv2's blob convention with spy "
+                         "graphs and aborts if it differs from the baked "
+                         "compensation (runs only for --target cv2-5.0 "
+                         "when cv2 is importable)")
     args = ap.parse_args(argv)
+
+    if args.target == "cv2-5.0" and not args.skip_cv2_check:
+        try:
+            import cv2  # noqa: F401
+            have_cv2 = True
+        except ImportError:
+            have_cv2 = False
+            print("cv2 not importable: skipping the blob-convention "
+                  "self-check (the baked compensation was measured "
+                  "against OpenCV 5.0.0)")
+        if have_cv2:
+            from gstreamer_vit_tracker_tpu.compat import \
+                verify_cv2_convention
+
+            got = verify_cv2_convention()   # raises on mismatch
+            print(f"cv2 blob-convention self-check OK "
+                  f"(slopes {[round(s, 5) for s in got['slope']]}, "
+                  f"crossings {[round(c, 4) for c in got['crossing']]}, "
+                  f"hann peak {got['hann_peak']:.6f})")
 
     import jax
 
