@@ -102,10 +102,12 @@ class ModelConfig:
     template_factor: float = 2.0    # context amount around bbox for template
     search_factor: float = 4.0      # context amount around bbox for search
     head_mode: str = "conv"         # "conv" (learned) | "corr" (training-free)
-    # Hanning-penalty formula for the decode: "opencv" matches
-    # cv2.createHanningWindow / the real TrackerVit bit-for-bit (zero border
-    # cells); "interior" keeps nonzero border weights (better recovery of
-    # fast targets at the window edge).  See models/heads.py::hanning_2d.
+    # Hanning-penalty formula for the decode.  "interior" (default) is
+    # MEASURED to be exactly the window cv2.TrackerVit multiplies into the
+    # conf map (compat/cv2vit.py; gate tests/test_cv2_replica.py), so the
+    # shipped default is the reference-exact decode.  "opencv" matches
+    # cv2.createHanningWindow bit-for-bit (zero border cells) — a formula
+    # TrackerVit turns out NOT to use.  See models/heads.py::hanning_2d.
     hann_mode: str = "interior"
     # Normalisation applied after /255 (ImageNet stats).
     norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)

@@ -254,19 +254,23 @@ def hanning_2d(fs: int, mode: str = "interior") -> jnp.ndarray:
     """Separable 2-D hann window, the motion-smoothness penalty applied to
     the score map before argmax (standard VitTrack/OSTrack decode).
 
-    ``mode="opencv"`` reproduces ``cv2.createHanningWindow`` exactly —
-    ``sqrt(hann_i * hann_j) = sin(pi*i/(N-1)) * sin(pi*j/(N-1))`` with ZERO
-    rows/cols at the map borders, the formula OpenCV's TrackerVit
-    multiplies into the confidence map (opencv modules/video tracker_vit;
-    the reference's model family, /root/reference/src/main.rs:25).  Pinned
-    bit-for-bit against cv2 in tests/test_decode_parity.py.
-
     ``mode="interior"`` (default) is the endpoint-free variant
     ``0.5*(1-cos(2*pi*(i+1)/(N+1)))``: border cells keep a small nonzero
     weight, so a fast-moving target at the search-window edge can still be
-    picked up — measurably better long-horizon border robustness on our
-    flagship, at the cost of exact decode parity (switchable via
-    ModelConfig.hann_mode).
+    picked up.  MEASURED (spy graphs read back through getTrackingScore,
+    compat/cv2vit.py) to be exactly the window OpenCV 5's TrackerVit
+    multiplies into the confidence map — the measured peak is
+    sin^4(9*pi/17), an 18-point hann cropped to its interior 16 cells —
+    so the shipped default is the reference-exact decode (the reference's
+    model family, /root/reference/src/main.rs:25).  Gate:
+    tests/test_cv2_replica.py::test_interior_hann_is_cv2_trackervit_window.
+
+    ``mode="opencv"`` reproduces ``cv2.createHanningWindow`` exactly —
+    ``sqrt(hann_i * hann_j) = sin(pi*i/(N-1)) * sin(pi*j/(N-1))`` with ZERO
+    rows/cols at the map borders (pinned bit-for-bit against cv2 in
+    tests/test_decode_parity.py).  TrackerVit turns out NOT to use this
+    function; the mode is kept for parity with trackers that do
+    (KCF-lineage decoders), switchable via ModelConfig.hann_mode.
     """
     if mode == "opencv":
         w = jnp.sin(jnp.pi * jnp.arange(fs) / (fs - 1))

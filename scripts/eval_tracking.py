@@ -196,6 +196,29 @@ def run_sequence_cv2(onnx_path: str, src, frames: int):
     return np.asarray(rows)
 
 
+def run_sequence_matched(params, cfg, src, frames: int):
+    """The named reference-parity mode (--tracker matched): our JAX
+    forward under cv2.TrackerVit's MEASURED crop / interior-hann decode /
+    integer-Rect feedback pipeline (compat/cv2vit.py).  Trajectories are
+    Rect-identical to cv2 running the exported graph (docs/EXPORT.md
+    ladder), so this column IS the reference implementation's behaviour
+    without needing cv2 installed."""
+    from gstreamer_vit_tracker_tpu.compat import MatchedCropTracker
+
+    tr = MatchedCropTracker(params, cfg)
+    tr.init(np.asarray(src.frame_rgb(0)),
+            tuple(int(v) for v in src.bbox_at(0)))
+    rows = []
+    for i in range(1, frames + 1):
+        box = tr.update(np.asarray(src.frame_rgb(i)))
+        vis = (src.visible_frac_at(i)
+               if hasattr(src, "visible_frac_at") else 1.0)
+        b = np.asarray(box, np.float64)
+        gt = np.asarray(src.bbox_at(i))
+        rows.append((iou(b, gt), float(tr.score), vis) + center_errors(b, gt))
+    return np.asarray(rows)
+
+
 def summarize(scenario: str, rows: np.ndarray, thr: float) -> dict:
     """Scenario-aware metrics from (N, 3) [iou, conf, visible] rows."""
     visible = rows[:, 2] >= 0.7
@@ -277,11 +300,17 @@ def main(argv=None) -> int:
                     help="also write the per-scenario summary metrics as "
                          "one JSON object (machine-readable twin of the "
                          "printed table)")
-    ap.add_argument("--tracker", choices=("ours", "cv2"), default="ours",
+    ap.add_argument("--tracker", choices=("ours", "cv2", "matched"),
+                    default="ours",
                     help="'cv2' runs OpenCV's TrackerVit on the checkpoint "
                          "exported via models/export_onnx.py — the "
                          "reference-implementation baseline (flagship "
-                         "preset only: cv2 crops at fixed 128/256)")
+                         "preset only: cv2 crops at fixed 128/256); "
+                         "'matched' is the named reference-parity mode: "
+                         "OUR JAX forward under cv2.TrackerVit's measured "
+                         "crop/decode/int-Rect pipeline (compat/cv2vit.py "
+                         "MatchedCropTracker, f32 — agrees with cv2 at "
+                         "IoU 1.0, docs/EXPORT.md)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -291,11 +320,12 @@ def main(argv=None) -> int:
     else:
         compile_cache.enable()
 
-    if args.tracker == "cv2" and args.objects > 1:
+    if args.tracker != "ours" and args.objects > 1:
         # Must precede the multi-object branch: it returns early and would
         # otherwise silently report OUR numbers as the cv2 baseline.
-        print("--tracker cv2 is single-object only (cv2.TrackerVit has "
-              "no batched mode); drop --objects", file=sys.stderr)
+        print(f"--tracker {args.tracker} is single-object only "
+              "(cv2.TrackerVit's pipeline has no batched mode); drop "
+              "--objects", file=sys.stderr)
         return 2
 
     cfg = PRESETS[args.preset]
@@ -366,18 +396,25 @@ def main(argv=None) -> int:
                 "coverage": float(np.mean(covers))})
         return 0
 
+    if args.tracker in ("cv2", "matched") and \
+            (cfg.template_size, cfg.search_size, cfg.head_mode) != \
+            (128, 256, "conv"):
+        print(f"--tracker {args.tracker} requires the flagship preset: "
+              "cv2.TrackerVit's pipeline crops at fixed 128/256 and needs "
+              "the conv head (use --preset vittrack-t)", file=sys.stderr)
+        return 2
+
+    if args.tracker == "matched":
+        import dataclasses
+
+        # Matched-crop mode is an f32 parity tool (compat/cv2vit.py).
+        cfg = dataclasses.replace(cfg, dtype="float32")
+
     if args.tracker == "cv2":
         import atexit
         import tempfile
 
         from gstreamer_vit_tracker_tpu.models import export_onnx
-
-        if (cfg.template_size, cfg.search_size, cfg.head_mode) != \
-                (128, 256, "conv"):
-            print("--tracker cv2 requires the flagship preset: "
-                  "cv2.TrackerVit crops at fixed 128/256 and needs the "
-                  "conv head (use --preset vittrack-t)", file=sys.stderr)
-            return 2
         fd, onnx_path = tempfile.mkstemp(suffix=".onnx", prefix="gvt_eval_")
         os.close(fd)
         atexit.register(lambda: os.path.exists(onnx_path)
@@ -396,6 +433,8 @@ def main(argv=None) -> int:
             src = make_source(scenario, seq, args)
             if args.tracker == "cv2":
                 rows = run_sequence_cv2(onnx_path, src, args.frames)
+            elif args.tracker == "matched":
+                rows = run_sequence_matched(params, cfg, src, args.frames)
             else:
                 rows = run_sequence(upd, params, cfg, src, args.frames)
             all_rows.append(rows)

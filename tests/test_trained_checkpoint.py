@@ -295,3 +295,59 @@ def test_trained_flagship_frame_exit_recovery():
     # Re-acquisition after re-entry completes.
     assert max(confs[i] for i in range(112, 131)) > 0.25
     assert np.mean([ious[i] for i in range(115, 141)]) > 0.4
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(FLAGSHIP_CKPT),
+                    reason="flagship checkpoint not present")
+def test_trained_flagship_composed_stress():
+    """Composed worst-case gate (round-4 VERDICT item 8): occlusion +
+    ±24 px camera shake + appearance drift STACKED on one scene, 2×400
+    frames — the README robustness table's rows hold piecewise; this pins
+    the composition.  Run with the online template update enabled: the
+    drift fade crosses ~0.35 brightness while occlusion passes force the
+    re-detection ramp, and a frame-0 template cannot confirm a deeply
+    faded target inside a 4x-grown window (measured: static template
+    0.72/0.77 per seq, updated 0.89/0.92 — the regime --template-update
+    exists for).  Gates: visible-frame IoU ≥ 0.85 overall, no terminal
+    loss (late-window IoU), hidden-conf contract intact (the update must
+    never have learned the occluder).  Ref behaviour under compound
+    stress: /root/reference/src/tracker_context.rs:127-152."""
+    import dataclasses
+
+    cfg = dataclasses.replace(ModelConfig(dtype="float32"),
+                              template_update_enabled=True)
+    params = weights.load_npz(FLAGSHIP_CKPT,
+                              vittrack.init_params(jax.random.PRNGKey(0), cfg))
+    upd = jax.jit(lambda p, s, f: core.update(p, s, f, cfg, use_pallas=False))
+    vis_ious, late_ious, hidden_confs = [], [], []
+    for seed, obj in ((0, 40), (1, 48)):
+        src = SyntheticSource(640, 512, obj_size=obj, seed=seed, speed=3.0,
+                              occlusion=(200, 41), shake_px=24.0,
+                              appearance_drift=0.002)
+        st = core.init(params, jnp.asarray(src.frame_rgb(0)),
+                       jnp.asarray(src.bbox_at(0)), cfg)
+        for i in range(1, 401):
+            st, bbox, conf = upd(params, st, jnp.asarray(src.frame_rgb(i)))
+            vis = src.visible_frac_at(i)
+            if vis >= 0.7:
+                v = iou(np.asarray(bbox), np.asarray(src.bbox_at(i)))
+                vis_ious.append(v)
+                if i > 350:
+                    late_ious.append(v)
+            elif vis < 0.05:
+                hidden_confs.append(float(conf))
+    mean_iou = float(np.mean(vis_ious))
+    assert mean_iou >= 0.85, f"composed-stress IoU {mean_iou:.3f}"
+    # The deep-fade tail after the last occlusion pass must not collapse
+    # (the static-template failure mode: conf ~0.01 forever after ~f335).
+    assert np.mean(late_ious) >= 0.7, (
+        f"terminal loss: late IoU {np.mean(late_ious):.3f}")
+    # Hidden-conf contract: the updated template must still reject the
+    # occluder on a sustained majority of fully-hidden frames.
+    if hidden_confs:
+        frac = float(np.mean(np.asarray(hidden_confs) <= 0.25))
+        assert frac >= 0.6, (
+            f"hidden conf below 0.25 on only {frac:.2f} of hidden frames "
+            f"(max {max(hidden_confs):.3f}) — template update may have "
+            f"learned the occluder")

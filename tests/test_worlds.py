@@ -187,6 +187,33 @@ def test_eval_scenario_runner_wiring(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
+def test_eval_matched_tracker_wiring(tmp_path):
+    """--tracker matched (the named reference-parity mode: our flagship
+    forward under cv2.TrackerVit's measured crop/decode/int-Rect pipeline,
+    compat/cv2vit.py) runs end to end through the eval CLI and produces
+    sane metrics without cv2 installed."""
+    import json
+    import sys
+    sys.path.insert(0, ".")
+    from scripts import eval_tracking
+
+    out = tmp_path / "matched.json"
+    rc = eval_tracking.main([
+        "--preset", "vittrack-t", "--tracker", "matched", "--seqs", "1",
+        "--frames", "6", "--width", "320", "--height", "256",
+        "--json", str(out)])
+    assert rc == 0
+    summary = json.loads(out.read_text())
+    assert summary["mode"] == "matched"
+    s = summary["scenarios"]["basic"]
+    # Integer-Rect trajectories still track (shipped flagship checkpoint).
+    assert s["mean_iou"] > 0.5 and s["lost_frames"] == 0
+    # Non-flagship presets are rejected up front (cv2's fixed 128/256).
+    assert eval_tracking.main(
+        ["--preset", "small", "--tracker", "matched"]) == 2
+
+
 def test_eval_summarize_metrics():
     import sys
     sys.path.insert(0, ".")
