@@ -56,6 +56,12 @@ def build_argparser() -> argparse.ArgumentParser:
                                  description="TPU-native ViT tracker")
     ap.add_argument("--source", default="synthetic",
                     choices=["synthetic", "file", "v4l2"])
+    ap.add_argument("--gst", default="", metavar="DESC",
+                    help="gst-launch-1.0 pipeline description; element "
+                         "chain is mapped onto this framework's components "
+                         "and overrides --source/--format/geometry flags "
+                         "(media/gst.py; the reference's own pipeline line "
+                         "from pipeline_ir.rs:21-87 parses as-is)")
     ap.add_argument("--input", default="", help="file path for --source file")
     ap.add_argument("--device", default="/dev/video21",
                     help="camera node for --source v4l2")
@@ -151,6 +157,16 @@ def make_source(args):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.gst:
+        from ..media.gst import apply_to_args, parse_launch
+
+        try:
+            spec = parse_launch(args.gst)
+        except ValueError as e:
+            sys.exit(f"--gst: {e}")
+        apply_to_args(spec, args)
+        for note in spec.notes:
+            print(f"pipeline: {note}")
 
     print("==========================================")
     print("   VitTrack TPU - Interactive Selection")
