@@ -55,14 +55,16 @@ def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="gstreamer_vit_tracker_tpu",
                                  description="TPU-native ViT tracker")
     ap.add_argument("--source", default="synthetic",
-                    choices=["synthetic", "file", "v4l2"])
+                    choices=["synthetic", "file", "v4l2", "mjpeg"])
     ap.add_argument("--gst", default="", metavar="DESC",
                     help="gst-launch-1.0 pipeline description; element "
                          "chain is mapped onto this framework's components "
                          "and overrides --source/--format/geometry flags "
                          "(media/gst.py; the reference's own pipeline line "
                          "from pipeline_ir.rs:21-87 parses as-is)")
-    ap.add_argument("--input", default="", help="file path for --source file")
+    ap.add_argument("--input", default="",
+                    help="file path for --source file; stream URL for "
+                         "--source mjpeg (http://host:port/)")
     ap.add_argument("--device", default="/dev/video21",
                     help="camera node for --source v4l2")
     ap.add_argument("--width", type=int, default=640)
@@ -152,6 +154,12 @@ def make_source(args):
         if not args.input:
             sys.exit("--source file requires --input")
         return FileSource(args.input, fps=args.fps)
+    if args.source == "mjpeg":
+        if not args.input:
+            sys.exit("--source mjpeg requires --input http://host:port/")
+        from ..media.mjpeg import MJPEGSource
+
+        return MJPEGSource(args.input, fps=args.fps)
     return V4L2Source(args.device, args.width, args.height, args.fps)
 
 

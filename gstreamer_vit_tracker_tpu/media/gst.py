@@ -23,6 +23,9 @@ gst element        TPU framework component
 v4l2src            media.source.V4L2Source (pipeline_ir.rs:21-26)
 videotestsrc       media.source.SyntheticSource (portable test source)
 filesrc+decodebin  media.source.FileSource (y4m / cv2 containers)
+souphttpsrc +      media.mjpeg.MJPEGSource (IP-camera MJPEG over HTTP;
+multipartdemux +   the network analog of the reference's live sensor)
+jpegdec
 video/x-raw caps   capture or display geometry + frame format
                    (pipeline_ir.rs:27-41,64-73)
 videoconvert       no-op: colorspace conversion happens on-device inside
@@ -60,8 +63,10 @@ _FORMAT_MAP = {"YUY2": "yuy2", "NV12": "nv12", "RGB": "rgb"}
 
 # Elements that are accepted and contribute nothing beyond their
 # documented mapping (conversion is fused on-device; decodebin is implied
-# by FileSource's container handling).
-_NOOP_ELEMENTS = {"videoconvert", "decodebin", "y4mdec", "jpegdec"}
+# by FileSource's container handling; multipartdemux+jpegdec by
+# MJPEGSource's stream parsing).
+_NOOP_ELEMENTS = {"videoconvert", "decodebin", "y4mdec", "jpegdec",
+                  "multipartdemux"}
 
 _SINK_ELEMENTS = {"kmssink", "autovideosink", "ximagesink", "glimagesink",
                   "waylandsink", "fakesink", "appsink", "filesink"}
@@ -200,7 +205,7 @@ def parse_launch(description: str) -> PipelineSpec:
             _apply_caps(spec, _parse_caps(props["caps"]), after_scaler)
             continue
 
-        if name in ("v4l2src", "videotestsrc", "filesrc"):
+        if name in ("v4l2src", "videotestsrc", "filesrc", "souphttpsrc"):
             if saw_source:
                 raise ValueError("multiple sources in one pipeline "
                                  "(tee/compositor topologies unsupported)")
@@ -213,6 +218,14 @@ def parse_launch(description: str) -> PipelineSpec:
                         spec.notes.append(f"v4l2src {k}={props[k]} noted")
             elif name == "videotestsrc":
                 spec.source = "synthetic"
+            elif name == "souphttpsrc":
+                # MJPEG network camera: souphttpsrc ! multipartdemux !
+                # jpegdec — media/mjpeg.py::MJPEGSource plays the whole
+                # chain (transport + demux + decode).
+                spec.source = "mjpeg"
+                if "location" not in props:
+                    raise ValueError("souphttpsrc requires location=")
+                spec.input_path = props["location"]
             else:
                 spec.source = "file"
                 if "location" not in props:
@@ -257,9 +270,10 @@ def parse_launch(description: str) -> PipelineSpec:
 
         raise ValueError(
             f"unsupported element {name!r} — supported: v4l2src, "
-            "videotestsrc, filesrc, capsfilter / bare caps, videoconvert, "
-            "decodebin, identity, rgaconvert, videoscale, queue, y4menc, "
-            "filesink, kmssink, autovideosink, fakesink, appsink")
+            "videotestsrc, filesrc, souphttpsrc, capsfilter / bare caps, "
+            "videoconvert, decodebin, multipartdemux, jpegdec, identity, "
+            "rgaconvert, videoscale, queue, y4menc, filesink, kmssink, "
+            "autovideosink, fakesink, appsink")
 
     if not saw_source:
         raise ValueError("pipeline has no source element")

@@ -1,0 +1,200 @@
+"""MJPEG-over-HTTP network source (media/mjpeg.py).
+
+The network analog of the reference's live V4L2 capture
+(/root/reference/src/pipeline_ir.rs:21-41): an IP camera serving
+multipart/x-mixed-replace JPEG.  Round-trips against this framework's own
+MJPEGSink (Content-Length framing) and against a hand-rolled length-less
+camera-style server (JPEG EOI scanning), then end to end through the app.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from gstreamer_vit_tracker_tpu.media.mjpeg import MJPEGSource, decode_jpeg
+from gstreamer_vit_tracker_tpu.media.sink import MJPEGSink, _encode_jpeg
+
+
+def _frames(n, h=64, w=96, seed=0):
+    # Smooth content: JPEG error on white noise is unbounded-ish even at
+    # q95; gradients keep the lossy round-trip tight so the assert is on
+    # correctness (channel order, framing), not codec entropy.
+    yy = np.arange(h, dtype=np.float32)[:, None]
+    xx = np.arange(w, dtype=np.float32)[None, :]
+    base = np.stack([(yy * 2 + xx + 10 * seed) % 256,
+                     (xx * 2.5 + 0 * yy) % 256,
+                     (yy * 1.5 + 30 + 0 * xx) % 256],
+                    axis=-1).astype(np.uint8)
+    out = []
+    for i in range(n):
+        f = base.copy()
+        f[:, : (i + 1) * 8, :] = (20 * i) % 255     # frame-distinct band
+        out.append(f)
+    return out
+
+
+def _feed(sink, frames, period=0.05, delay=0.2):
+    def run():
+        time.sleep(delay)
+        for f in frames:
+            sink.write(f)
+            time.sleep(period)
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
+def test_roundtrip_against_mjpeg_sink():
+    sink = MJPEGSink(port=0, quality=95)
+    frames = _frames(6)
+    feeder = _feed(sink, frames)
+    try:
+        src = MJPEGSource(f"http://127.0.0.1:{sink.port}/", timeout=10.0)
+        assert (src.height, src.width) == (64, 96)
+        assert src.fmt == "rgb"
+        got = [src.frame(i) for i in range(3)]
+        src.close()
+    finally:
+        feeder.join(timeout=5.0)
+        sink.close()
+    for g in got:
+        assert g.shape == (64, 96, 3) and g.dtype == np.uint8
+        # JPEG is lossy: match the nearest original frame, closely.
+        err = min(np.abs(g.astype(int) - f.astype(int)).mean()
+                  for f in frames)
+        assert err < 4.0, f"decoded frame differs from any original: {err}"
+    # The live stream advanced: we did not read the same frame thrice.
+    assert any(np.abs(got[0].astype(int) - g.astype(int)).mean() > 1.0
+               for g in got[1:])
+
+
+def test_lengthless_camera_framing():
+    """Many IP cameras omit Content-Length: the source must scan for the
+    JPEG end-of-image marker instead."""
+    import http.server
+
+    frames = _frames(3, seed=1)
+    jpgs = [_encode_jpeg(f, 95) for f in frames]
+
+    class Cam(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "multipart/x-mixed-replace; boundary=myb")
+            self.end_headers()
+            for jpg in jpgs:
+                self.wfile.write(b"--myb\r\n"
+                                 b"Content-Type: image/jpeg\r\n\r\n"
+                                 + jpg + b"\r\n")
+            self.wfile.write(b"--myb--\r\n")
+            # No Content-Length on the response: the body is delimited by
+            # connection close; make the server actually close it.
+            self.close_connection = True
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Cam)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        src = MJPEGSource(f"http://127.0.0.1:{server.server_address[1]}/",
+                          timeout=10.0)
+        got = [src.frame(i) for i in range(3)]
+        with pytest.raises(EOFError):
+            src.frame(3)
+        src.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+    for g, f in zip(got, frames):
+        err = np.abs(g.astype(int) - f.astype(int)).mean()
+        assert err < 4.0
+
+
+def test_decode_jpeg_roundtrip():
+    f = _frames(1)[0]
+    g = decode_jpeg(_encode_jpeg(f, 95))
+    assert g.shape == f.shape
+    assert np.abs(g.astype(int) - f.astype(int)).mean() < 4.0
+
+
+def test_rejects_non_mjpeg_and_bad_scheme():
+    import http.server
+
+    class Plain(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b"hello"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Plain)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(ValueError, match="not an MJPEG stream"):
+            MJPEGSource(f"http://127.0.0.1:{server.server_address[1]}/")
+    finally:
+        server.shutdown()
+        server.server_close()
+    with pytest.raises(ValueError, match="http"):
+        MJPEGSource("rtsp://camera/stream")
+
+
+def test_gst_chain_maps_to_mjpeg_source():
+    from gstreamer_vit_tracker_tpu.media.gst import parse_launch
+
+    spec = parse_launch(
+        "souphttpsrc location=http://10.0.0.9:8080/stream ! "
+        "multipartdemux ! jpegdec ! identity ! fakesink")
+    assert spec.source == "mjpeg"
+    assert spec.input_path == "http://10.0.0.9:8080/stream"
+    with pytest.raises(ValueError, match="location"):
+        parse_launch("souphttpsrc ! multipartdemux ! fakesink")
+
+
+def test_app_tracks_from_network_stream(tmp_path):
+    """End to end: synthetic frames -> MJPEGSink (one process's preview)
+    -> HTTP -> MJPEGSource -> the app tracks headlessly."""
+    from gstreamer_vit_tracker_tpu.app import main as app_main
+    from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
+
+    sink = MJPEGSink(port=0, quality=95)
+    syn = SyntheticSource(320, 256, fps=30, seed=3, speed=1.0)
+    stop = threading.Event()
+
+    def run():
+        i = 0
+        while not stop.is_set() and i < 400:
+            sink.write(syn.frame(i))
+            i += 1
+            time.sleep(0.03)
+
+    feeder = threading.Thread(target=run, daemon=True)
+    feeder.start()
+    traj = tmp_path / "net.jsonl"
+    try:
+        rc = app_main.main([
+            "--source", "mjpeg", "--input",
+            f"http://127.0.0.1:{sink.port}/",
+            "--headless", "--frames", "10", "--no-pace", "--cpu",
+            "--init-bbox", "128,96,64,64",
+            "--record-track", str(traj),
+        ])
+    finally:
+        stop.set()
+        feeder.join(timeout=5.0)
+        sink.close()
+    assert rc == 0
+    lines = traj.read_text().strip().splitlines()
+    assert len(lines) == 10
