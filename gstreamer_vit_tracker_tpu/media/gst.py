@@ -301,6 +301,12 @@ def apply_to_args(spec: PipelineSpec, args) -> None:
         args.record = spec.record_path
     if spec.display and spec.display_width:
         args.display_scale = True
+    if spec.display and getattr(args, "preview", -1) < 0:
+        # A live video sink (kmssink/autovideosink) means "show it": the
+        # TPU host's display plane is the MJPEG preview server
+        # (media/sink.py::MJPEGSink); port 0 binds ephemerally and the
+        # app prints the URL.
+        args.preview = 0
     if not spec.has_probe:
         spec.notes.append("no identity element: the tracker taps frames "
                           "at the loop head regardless (the probe point "

@@ -112,6 +112,26 @@ def test_rejects_unmappable(desc, frag):
         parse_launch(desc)
 
 
+def test_apply_maps_display_sink_to_preview():
+    import argparse
+
+    from gstreamer_vit_tracker_tpu.media.gst import apply_to_args
+
+    ns = argparse.Namespace(source="synthetic", device="", input="",
+                            fmt="rgb", width=0, height=0, fps=0, record="",
+                            display_scale=False, preview=-1)
+    apply_to_args(parse_launch(REFERENCE_IR), ns)
+    assert ns.preview == 0          # kmssink -> live MJPEG preview
+    assert ns.display_scale         # rgaconvert + display caps
+    ns.preview = 7300               # explicit --preview wins
+    apply_to_args(parse_launch(REFERENCE_IR), ns)
+    assert ns.preview == 7300
+    ns.preview = -1
+    apply_to_args(parse_launch(
+        "videotestsrc ! identity ! fakesink"), ns)
+    assert ns.preview == -1         # fakesink stays headless
+
+
 def test_app_runs_from_gst_description(tmp_path):
     """End to end: one --gst string configures source, format, geometry
     and recording; the app tracks headlessly and writes the y4m."""
