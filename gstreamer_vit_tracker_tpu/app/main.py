@@ -350,6 +350,16 @@ def main(argv=None) -> int:
                 consecutive_faults = 0
             except KeyboardInterrupt:
                 raise
+            except EOFError as e:
+                # A live stream ending (network camera closed, MJPEG
+                # server gone) is end-of-input, not a fault: stop cleanly
+                # like a file source running out of frames, don't burn 30
+                # backend-recreate attempts on a source that cannot
+                # recover (media/mjpeg.py raises EOFError for exactly
+                # this; transient faults raise other exceptions and keep
+                # the recovery path below).
+                print(f"\rSource ended at frame {frame_idx}: {e}")
+                break
             except Exception as e:
                 consecutive_faults += 1
                 print(f"\rFrame {frame_idx} error: {e!r} "

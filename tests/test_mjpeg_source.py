@@ -163,6 +163,52 @@ def test_gst_chain_maps_to_mjpeg_source():
         parse_launch("souphttpsrc ! multipartdemux ! fakesink")
 
 
+def test_app_stops_cleanly_when_stream_ends(tmp_path):
+    """A network stream that ends (camera gone for good) is end-of-input:
+    the app stops cleanly instead of spinning the fault-recovery loop."""
+    import http.server
+
+    from gstreamer_vit_tracker_tpu.app import main as app_main
+
+    frames = _frames(4, h=128, w=160, seed=2)
+    jpgs = [_encode_jpeg(f, 95) for f in frames]
+
+    class Cam(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "multipart/x-mixed-replace; boundary=b")
+            self.end_headers()
+            for jpg in jpgs:
+                self.wfile.write(b"--b\r\nContent-Length: "
+                                 + str(len(jpg)).encode() + b"\r\n\r\n"
+                                 + jpg + b"\r\n")
+            self.close_connection = True
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Cam)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    traj = tmp_path / "ended.jsonl"
+    try:
+        rc = app_main.main([
+            "--source", "mjpeg", "--input",
+            f"http://127.0.0.1:{server.server_address[1]}/",
+            "--headless", "--frames", "50", "--no-pace", "--cpu",
+            "--init-bbox", "40,40,48,48", "--record-track", str(traj),
+        ])
+    finally:
+        server.shutdown()
+        server.server_close()
+    assert rc == 0
+    # 1 init frame + 3 streamed updates, then clean stop (well before 50).
+    lines = traj.read_text().strip().splitlines()
+    assert 1 <= len(lines) <= 4
+
+
 def test_app_tracks_from_network_stream(tmp_path):
     """End to end: synthetic frames -> MJPEGSink (one process's preview)
     -> HTTP -> MJPEGSource -> the app tracks headlessly."""
