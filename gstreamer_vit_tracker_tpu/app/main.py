@@ -67,6 +67,12 @@ def build_argparser() -> argparse.ArgumentParser:
                          "--source mjpeg (http://host:port/)")
     ap.add_argument("--device", default="/dev/video21",
                     help="camera node for --source v4l2")
+    ap.add_argument("--v4l2-pixfmt", default="yuy2",
+                    choices=["yuy2", "mjpeg"],
+                    help="V4L2 capture pixel format: yuy2 (the reference's "
+                         "caps, pipeline_ir.rs:27-41) or mjpeg (compressed "
+                         "mode most USB cameras need for >30fps; decoded "
+                         "host-side to RGB)")
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--fps", type=int, default=60)
@@ -160,7 +166,8 @@ def make_source(args):
         from ..media.mjpeg import MJPEGSource
 
         return MJPEGSource(args.input, fps=args.fps)
-    return V4L2Source(args.device, args.width, args.height, args.fps)
+    return V4L2Source(args.device, args.width, args.height, args.fps,
+                      pixfmt=args.v4l2_pixfmt)
 
 
 def main(argv=None) -> int:

@@ -93,15 +93,18 @@ class PipelineSpec:
     sink_props: Dict[str, str] = dataclasses.field(default_factory=dict)
     notes: List[str] = dataclasses.field(default_factory=list)
     fmt_from_caps: bool = False          # first format-bearing caps wins
+    v4l2_pixfmt: str = "yuy2"            # image/jpeg caps -> "mjpeg"
 
 
-def _parse_caps(caps: str) -> Dict[str, str]:
-    """Parse ``video/x-raw,format=YUY2,width=640,...`` into fields."""
+def _parse_caps(caps: str) -> Tuple[str, Dict[str, str]]:
+    """Parse ``video/x-raw,format=YUY2,width=640,...`` into
+    (media_type, fields).  ``image/jpeg`` caps select a camera's MJPEG
+    compressed mode (the v4l2src dialect for USB cams above 30fps)."""
     parts = caps.split(",")
     media = parts[0].strip()
-    if media != "video/x-raw":
+    if media not in ("video/x-raw", "image/jpeg"):
         raise ValueError(f"unsupported caps media type {media!r} "
-                         "(only video/x-raw)")
+                         "(video/x-raw or image/jpeg)")
     fields: Dict[str, str] = {}
     for part in parts[1:]:
         if not part.strip():
@@ -113,7 +116,7 @@ def _parse_caps(caps: str) -> Dict[str, str]:
         if v.startswith("(") and ")" in v:
             v = v.split(")", 1)[1]
         fields[k.strip()] = v.strip()
-    return fields
+    return media, fields
 
 
 def _parse_fraction(value: str) -> int:
@@ -140,9 +143,21 @@ def _split_segment(seg: str) -> Tuple[str, Dict[str, str]]:
     return name, props
 
 
-def _apply_caps(spec: PipelineSpec, fields: Dict[str, str],
+def _apply_caps(spec: PipelineSpec, media: str, fields: Dict[str, str],
                 after_scaler: bool) -> None:
     """Caps before the scaler set capture geometry; after it, display."""
+    if media == "image/jpeg":
+        if after_scaler:
+            raise ValueError("image/jpeg caps only select a capture mode "
+                             "(before the scaler)")
+        if spec.fmt_from_caps:
+            raise ValueError("image/jpeg caps must be the capture caps "
+                             "(first format-bearing segment)")
+        # v4l2src in MJPEG compressed mode; frames decode to RGB before
+        # the device preprocess (media/source.py::V4L2Source pixfmt).
+        spec.v4l2_pixfmt = "mjpeg"
+        spec.fmt = "rgb"
+        spec.fmt_from_caps = True
     if "format" in fields:
         fmt = fields["format"]
         if fmt not in _FORMAT_MAP:
@@ -196,13 +211,13 @@ def parse_launch(description: str) -> PipelineSpec:
         name, props = _split_segment(seg)
 
         if "/" in name:                       # bare caps segment
-            _apply_caps(spec, _parse_caps(name), after_scaler)
+            _apply_caps(spec, *_parse_caps(name), after_scaler)
             continue
 
         if name == "capsfilter":
             if "caps" not in props:
                 raise ValueError("capsfilter without caps= property")
-            _apply_caps(spec, _parse_caps(props["caps"]), after_scaler)
+            _apply_caps(spec, *_parse_caps(props["caps"]), after_scaler)
             continue
 
         if name in ("v4l2src", "videotestsrc", "filesrc", "souphttpsrc"):
@@ -291,6 +306,8 @@ def apply_to_args(spec: PipelineSpec, args) -> None:
     """
     args.source = spec.source
     args.device = spec.device
+    if hasattr(args, "v4l2_pixfmt"):
+        args.v4l2_pixfmt = spec.v4l2_pixfmt
     if spec.input_path:
         args.input = spec.input_path
     args.fmt = spec.fmt

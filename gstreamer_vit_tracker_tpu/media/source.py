@@ -881,15 +881,24 @@ class V4L2Source:
     synthetic source instead."""
 
     def __init__(self, device: str = "/dev/video21", width: int = 640,
-                 height: int = 512, fps: int = 60):
+                 height: int = 512, fps: int = 60, pixfmt: str = "yuy2"):
         if not os.path.exists(device):
             raise FileNotFoundError(f"Camera not found: {device}")
-        from .v4l2 import V4L2Capture
+        from .v4l2 import PIX_FMT_MJPEG, PIX_FMT_YUYV, V4L2Capture
 
+        if pixfmt not in ("yuy2", "mjpeg"):
+            raise ValueError(f"unsupported V4L2 pixfmt {pixfmt!r} "
+                             "(yuy2 | mjpeg)")
         self.device = device
         self.fps = fps
-        self.fmt = "yuy2"
-        self._cap = V4L2Capture(device, width, height, fps=fps)
+        self.pixfmt = pixfmt
+        # MJPEG cameras deliver JPEG per frame (how most USB cams reach
+        # >30fps); decoded host-side to RGB before the device preprocess.
+        self.fmt = "rgb" if pixfmt == "mjpeg" else "yuy2"
+        self._cap = V4L2Capture(
+            device, width, height, fps=fps,
+            pixelformat=PIX_FMT_MJPEG if pixfmt == "mjpeg"
+            else PIX_FMT_YUYV)
         # Negotiated geometry may differ from the request; expose the
         # ACTUAL frame shape to the pipeline.
         self._started = False
@@ -906,6 +915,10 @@ class V4L2Source:
         if not self._started:
             self.open()
         data = self._cap.read_frame()
+        if self.pixfmt == "mjpeg":
+            from .mjpeg import decode_jpeg
+
+            return decode_jpeg(data.tobytes())
         n = self.width * self.height * 2
         if data.size < n:
             data = np.pad(data, (0, n - data.size))

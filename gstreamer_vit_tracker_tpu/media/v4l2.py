@@ -39,6 +39,7 @@ def fourcc(code: str) -> int:
 
 PIX_FMT_YUYV = fourcc("YUYV")
 PIX_FMT_NV12 = fourcc("NV12")
+PIX_FMT_MJPEG = fourcc("MJPG")   # compressed mode most USB cams need >30fps
 
 # linux/videodev2.h enums
 BUF_TYPE_VIDEO_CAPTURE = 1

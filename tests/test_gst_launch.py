@@ -156,3 +156,25 @@ def test_app_rejects_bad_gst_description():
     with pytest.raises(SystemExit):
         app_main.main(["--gst", "videotestsrc ! nosuchelement ! fakesink",
                        "--headless", "--frames", "1", "--cpu"])
+
+
+def test_image_jpeg_caps_select_mjpeg_capture():
+    spec = parse_launch(
+        "v4l2src device=/dev/video0 ! "
+        "image/jpeg,width=1280,height=720,framerate=30/1 ! jpegdec ! "
+        "identity ! fakesink")
+    assert spec.source == "v4l2"
+    assert spec.v4l2_pixfmt == "mjpeg"
+    assert spec.fmt == "rgb"                 # decoded before preprocess
+    assert (spec.width, spec.height, spec.fps) == (1280, 720, 30)
+
+
+@pytest.mark.parametrize("desc,frag", [
+    ("v4l2src ! video/x-raw,format=YUY2 ! videoscale ! image/jpeg ! "
+     "fakesink", "capture mode"),
+    ("v4l2src ! video/x-raw,format=YUY2 ! image/jpeg ! fakesink",
+     "capture caps"),
+])
+def test_image_jpeg_caps_misuse_rejected(desc, frag):
+    with pytest.raises(ValueError, match=frag):
+        parse_launch(desc)

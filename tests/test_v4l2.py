@@ -97,3 +97,52 @@ def test_source_requires_device():
 
     with pytest.raises(FileNotFoundError):
         V4L2Source("/dev/video21")
+
+
+def test_fourcc_mjpeg():
+    assert v4l2.PIX_FMT_MJPEG == v4l2.fourcc("MJPG") == 0x47504A4D
+
+
+def test_v4l2source_mjpeg_decodes(monkeypatch):
+    """MJPEG capture mode: variable-length JPEG buffers from DQBUF decode
+    to RGB frames (most USB cameras' >30fps mode)."""
+    from gstreamer_vit_tracker_tpu.media import source as source_mod
+    from gstreamer_vit_tracker_tpu.media.sink import _encode_jpeg
+
+    yy = np.arange(120, dtype=np.float32)[:, None]
+    xx = np.arange(160, dtype=np.float32)[None, :]
+    rgb = np.stack([(yy + xx) % 256, (xx * 1.5 + 0 * yy) % 256,
+                    (yy + 0 * xx) % 256], axis=-1).astype(np.uint8)
+    jpg = np.frombuffer(_encode_jpeg(rgb, 95), np.uint8)
+
+    class FakeCap:
+        def __init__(self, device, width, height, fps=60,
+                     pixelformat=0, n_buffers=4):
+            assert pixelformat == v4l2.PIX_FMT_MJPEG
+            self.width, self.height = width, height
+
+        def start(self):
+            pass
+
+        def read_frame(self, timeout=2.0):
+            return jpg.copy()
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(source_mod.os.path, "exists", lambda p: True)
+    monkeypatch.setattr(v4l2, "V4L2Capture", FakeCap)
+    src = source_mod.V4L2Source("/dev/videoX", 160, 120, pixfmt="mjpeg")
+    assert src.fmt == "rgb"
+    frame = src.frame(0)
+    assert frame.shape == (120, 160, 3)
+    assert np.abs(frame.astype(int) - rgb.astype(int)).mean() < 4.0
+    src.close()
+
+
+def test_v4l2source_rejects_bad_pixfmt(monkeypatch):
+    from gstreamer_vit_tracker_tpu.media import source as source_mod
+
+    monkeypatch.setattr(source_mod.os.path, "exists", lambda p: True)
+    with pytest.raises(ValueError, match="pixfmt"):
+        source_mod.V4L2Source("/dev/videoX", pixfmt="rgb24")
