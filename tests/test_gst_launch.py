@@ -7,7 +7,6 @@ TPU-framework components, plus the failure modes (unknown element, bad
 caps, missing source) that must not be silently dropped.
 """
 
-import numpy as np
 import pytest
 
 from gstreamer_vit_tracker_tpu.media.gst import parse_launch
