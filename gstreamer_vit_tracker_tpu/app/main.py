@@ -379,6 +379,14 @@ def main(argv=None) -> int:
                     session.tracker = backend
                 except Exception as e2:
                     print(f"Backend re-create failed: {e2!r}")
+                if hasattr(src, "reopen"):
+                    # Network sources recover from transport faults by
+                    # reconnecting (media/mjpeg.py::reopen); a failed
+                    # reconnect just counts as the next fault.
+                    try:
+                        src.reopen()
+                    except Exception as e3:
+                        print(f"Source reopen failed: {e3!r}")
                 session.force_lost()
                 frame_idx += 1
 

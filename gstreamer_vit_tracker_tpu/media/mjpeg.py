@@ -16,6 +16,8 @@ scanning (what many IP cameras emit).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 __all__ = ["MJPEGSource", "decode_jpeg"]
@@ -55,7 +57,6 @@ class MJPEGSource:
     """
 
     def __init__(self, url: str, fps: int = 60, timeout: float = 5.0):
-        import http.client
         import urllib.parse
 
         u = urllib.parse.urlsplit(url)
@@ -66,29 +67,56 @@ class MJPEGSource:
         self.url = url
         self.fps = fps
         self.fmt = "rgb"
+        self._timeout = timeout
+        self._conn = None
+        self._connect()
+        self.height, self.width = self._pending.shape[:2]
+
+    def _connect(self) -> None:
+        import http.client
+        import urllib.parse
+
+        u = urllib.parse.urlsplit(self.url)
         self._conn = http.client.HTTPConnection(u.hostname, u.port or 80,
-                                                timeout=timeout)
+                                                timeout=self._timeout)
         path = u.path or "/"
         if u.query:
             path += "?" + u.query
         self._conn.request("GET", path)
         resp = self._conn.getresponse()
         if resp.status != 200:
-            raise ConnectionError(f"{url}: HTTP {resp.status} {resp.reason}")
+            raise ConnectionError(
+                f"{self.url}: HTTP {resp.status} {resp.reason}")
         ctype = resp.getheader("Content-Type", "")
         if "multipart" not in ctype:
-            raise ValueError(f"{url}: not an MJPEG stream "
+            raise ValueError(f"{self.url}: not an MJPEG stream "
                              f"(Content-Type {ctype!r})")
         self._resp = resp
         self._buf = bytearray()
-        first = decode_jpeg(self._read_part())
-        self._pending: np.ndarray | None = first
-        self.height, self.width = first.shape[:2]
+        # Eager first frame: learns geometry and proves the stream is
+        # actually producing; replayed by the next frame() call.
+        self._pending: Optional[np.ndarray] = decode_jpeg(self._read_part())
+
+    def reopen(self) -> None:
+        """Reconnect after a transport fault (connection reset, timeout).
+
+        The app's fault-recovery loop calls this so a camera hiccup costs
+        a few frames, not the whole run; a CLEAN stream end raises
+        EOFError instead, which the app treats as end-of-input.  The
+        camera analog of the reference's bus-error handling
+        (/root/reference/src/main.rs:58-65) — except we recover."""
+        self.close()
+        self._connect()
 
     # -- buffered reads over the response body -------------------------------
 
     def _fill(self, n: int = 8192) -> bool:
-        chunk = self._resp.read(n)
+        # read1, NOT read: BufferedIOBase.read(n) is greedy — it blocks
+        # until the full n bytes accumulate, which would hold completed
+        # frames hostage to the arrival of later ones (a live camera
+        # sending 3 KB parts would reach us in ~8 KB bursts).  read1
+        # returns after one raw recv with whatever is available.
+        chunk = self._resp.read1(n)
         if not chunk:
             return False
         self._buf += chunk
@@ -157,7 +185,10 @@ class MJPEGSource:
         return decode_jpeg(self._read_part())
 
     def close(self) -> None:
+        if self._conn is None:
+            return
         try:
             self._conn.close()
         except OSError:
             pass
+        self._conn = None

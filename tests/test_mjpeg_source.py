@@ -244,3 +244,99 @@ def test_app_tracks_from_network_stream(tmp_path):
     assert rc == 0
     lines = traj.read_text().strip().splitlines()
     assert len(lines) == 10
+
+
+class _RstCam:
+    """Raw-socket HTTP MJPEG server that serves N parts per connection,
+    then RESETS the connection (SO_LINGER 0, close without shutdown) — a
+    camera hiccup, not a clean end.  http.server can't simulate this: its
+    shutdown_request sends a clean FIN before closing."""
+
+    def __init__(self, frames, per_conn=3, grace=0.5):
+        import socket
+
+        self._jpgs = [_encode_jpeg(f, 95) for f in frames]
+        self._per_conn = per_conn
+        self._grace = grace
+        self._sock = socket.create_server(("127.0.0.1", 0))
+        self._sock.settimeout(0.5)
+        self.port = self._sock.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        import socket
+        import struct
+
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            try:
+                conn.recv(65536)                      # the GET request
+                body = b"".join(
+                    b"--b\r\nContent-Length: %d\r\n\r\n%s\r\n"
+                    % (len(j), j) for j in self._jpgs[:self._per_conn])
+                conn.sendall(
+                    b"HTTP/1.1 200 OK\r\nContent-Type: "
+                    b"multipart/x-mixed-replace; boundary=b\r\n\r\n" + body)
+                time.sleep(self._grace)   # let the client drain the parts
+                conn.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                                struct.pack("ii", 1, 0))   # close -> RST
+            except OSError:
+                pass
+            finally:
+                conn.close()
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=3.0)
+        self._sock.close()
+
+
+def test_reopen_recovers_from_connection_reset():
+    frames = _frames(3, seed=4)
+    cam = _RstCam(frames, per_conn=2)
+    try:
+        src = MJPEGSource(f"http://127.0.0.1:{cam.port}/", timeout=10.0)
+        a = src.frame(0)
+        b = src.frame(1)
+        assert a.shape == b.shape == frames[0].shape
+        # The RST mid-stream is a transport FAULT (OSError family), not a
+        # clean end-of-input (EOFError) — callers must see the difference.
+        with pytest.raises(OSError):
+            for i in range(2, 10):
+                src.frame(i)
+        src.reopen()
+        c = src.frame(0)
+        assert c.shape == frames[0].shape
+        src.close()
+    finally:
+        cam.shutdown()
+
+
+def test_app_reconnects_through_camera_hiccups(tmp_path):
+    """The fault-recovery loop reopens a network source after a reset:
+    a camera hiccup costs frames, never the run."""
+    from gstreamer_vit_tracker_tpu.app import main as app_main
+
+    frames = _frames(3, h=128, w=160, seed=5)
+    cam = _RstCam(frames, per_conn=3)
+    traj = tmp_path / "hiccup.jsonl"
+    try:
+        rc = app_main.main([
+            "--source", "mjpeg", "--input", f"http://127.0.0.1:{cam.port}/",
+            "--headless", "--frames", "8", "--no-pace", "--cpu",
+            "--init-bbox", "40,40,48,48", "--record-track", str(traj),
+        ])
+    finally:
+        cam.shutdown()
+    assert rc == 0
+    # Progress across (at least) one reconnect: more tracked frames than a
+    # single 3-part connection could provide, faults never terminal.
+    lines = traj.read_text().strip().splitlines()
+    assert len(lines) >= 4
