@@ -99,6 +99,13 @@ class MJPEGSink:
                 if self.path not in ("/", "/stream"):
                     self.send_error(404)
                     return
+                # The multipart stream has no Content-Length: it is
+                # delimited by connection close.  Without this, HTTP/1.1
+                # keep-alive leaves the socket open after do_GET returns
+                # (e.g. on close()), so a downstream MJPEGSource never
+                # sees FIN and misreads shutdown as a transport fault
+                # instead of clean end-of-input.
+                self.close_connection = True
                 self.send_response(200)
                 self.send_header(
                     "Content-Type",

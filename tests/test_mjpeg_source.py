@@ -116,6 +116,39 @@ def test_lengthless_camera_framing():
         assert err < 4.0
 
 
+def test_sink_close_delivers_clean_eof():
+    """MJPEGSink.close() must FIN the live client so a downstream
+    MJPEGSource sees clean end-of-input (EOFError), not a read timeout.
+    HTTP/1.1 keep-alive would otherwise hold the socket open after the
+    handler returns — the bug this pins: a multipart stream is
+    connection-delimited, so stream end == connection close."""
+    sink = MJPEGSink(port=0, quality=95)
+    frames = _frames(4)
+    stop = threading.Event()
+
+    def feed():
+        i = 0
+        while not stop.is_set():
+            sink.write(frames[i % len(frames)])
+            i += 1
+            time.sleep(0.02)
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    src = MJPEGSource(f"http://127.0.0.1:{sink.port}/", timeout=10.0)
+    src.frame(0)
+    stop.set()
+    t.join(timeout=5.0)
+    sink.close()
+    # Drain whatever was already buffered in flight, then expect EOF —
+    # quickly (FIN), not after the 10 s socket timeout.
+    t0 = time.monotonic()
+    with pytest.raises(EOFError):
+        for i in range(1, 50):
+            src.frame(i)
+    assert time.monotonic() - t0 < 5.0, "EOF came from timeout, not FIN"
+    src.close()
+
+
 def test_decode_jpeg_roundtrip():
     f = _frames(1)[0]
     g = decode_jpeg(_encode_jpeg(f, 95))
