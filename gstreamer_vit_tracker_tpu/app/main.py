@@ -374,20 +374,38 @@ def main(argv=None) -> int:
                 if consecutive_faults >= MAX_CONSECUTIVE_FAULTS:
                     print("Unrecoverable: too many consecutive faults")
                     break
-                try:
-                    backend = make_backend()
-                    session.tracker = backend
-                except Exception as e2:
-                    print(f"Backend re-create failed: {e2!r}")
-                if hasattr(src, "reopen"):
-                    # Network sources recover from transport faults by
-                    # reconnecting (media/mjpeg.py::reopen); a failed
-                    # reconnect just counts as the next fault.
+                if isinstance(e, OSError) and hasattr(src, "reopen"):
+                    # Transport fault (connection reset, socket timeout,
+                    # ioctl error — media/mjpeg.py, media/v4l2.py): the
+                    # device and tracker state are intact, so reconnect
+                    # the source and carry on with template and search
+                    # window preserved — a camera hiccup costs frames,
+                    # never the target.  A long outage degrades
+                    # organically via the score threshold -> Lost ->
+                    # re-detection ramp; a failed reconnect just counts
+                    # as the next fault.
                     try:
                         src.reopen()
                     except Exception as e3:
                         print(f"Source reopen failed: {e3!r}")
-                session.force_lost()
+                else:
+                    # Device/backend fault: re-create the backend, then
+                    # re-seed its template from the last confirmed box on
+                    # a fresh frame — a bare re-created backend raises
+                    # 'tracker not initialised' on every Lost-mode update
+                    # and the session limps to the 60-frame auto-reset
+                    # instead of re-acquiring.
+                    try:
+                        backend = make_backend()
+                        session.tracker = backend
+                        _reseed_backend(src, session, backend, frame_idx)
+                    except Exception as e2:
+                        print(f"Backend re-create failed: {e2!r}")
+                    if hasattr(session, "slots") or \
+                            session.current_bbox is not None:
+                        session.force_lost()
+                    # else: still selecting — nothing to lose, keep
+                    # selecting instead of detouring through LOST.
                 frame_idx += 1
 
             if not args.no_pace:
@@ -408,6 +426,27 @@ def main(argv=None) -> int:
           f"final state {session.state_name()}, "
           f"avg track {stats.avg_track_ms():.2f}ms")
     return 0
+
+
+def _reseed_backend(src, session, backend, frame_idx: int) -> None:
+    """Give a freshly re-created backend a live template: re-init from the
+    session's last confirmed box(es) on a fresh source frame so the Lost
+    re-detection ramp has something to re-acquire with.  Device faults are
+    short (a few frames), so the last box is still a good template seed;
+    selection mode has nothing to seed and simply continues selecting."""
+    if hasattr(session, "slots"):            # multi-object session
+        from ..session.multi import Slot
+
+        boxes = [(k, session.boxes[k]) for k in range(session.n)
+                 if session.slots[k] in (Slot.TRACKING, Slot.LOST)
+                 and session.boxes[k] is not None]
+        if not boxes:
+            return
+        frame = src.frame(frame_idx)
+        for k, bb, in boxes:
+            backend.init_slot(frame, k, bb)
+    elif session.current_bbox is not None:
+        backend.init(src.frame(frame_idx), session.current_bbox)
 
 
 def _run_frame(args, src, session, stats, phases, sink, app_cfg,

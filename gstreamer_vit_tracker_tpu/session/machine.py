@@ -148,6 +148,17 @@ class TrackerSession:
         except Exception as e:
             self.log(f"Tracker error: {e!r}")
             self._recover_backend()
+            if self.current_bbox is not None:
+                # recover() drops TrackState (and with it the template);
+                # re-seed from the last confirmed box on this frame so the
+                # Lost ramp below can actually re-acquire.  Device faults
+                # last a few frames, so the box is still live — without
+                # this, every Lost-mode update raises 'tracker not
+                # initialised' and the session limps to the auto-reset.
+                try:
+                    self.tracker.init(frame, self.current_bbox)
+                except Exception as e2:
+                    self.log(f"Re-init after recovery failed: {e2!r}")
             self.state = SessionState.LOST
             self.lost = Lost(0)
             return None

@@ -373,3 +373,13 @@ def test_app_reconnects_through_camera_hiccups(tmp_path):
     # single 3-part connection could provide, faults never terminal.
     lines = traj.read_text().strip().splitlines()
     assert len(lines) >= 4
+    # A transport fault must not cost the target: the tracker state is
+    # intact across the reconnect (the app must NOT re-create the backend
+    # for a source-side fault), so every frame after the hiccup is still
+    # TRACKING on this static content — no 'tracker not initialised'
+    # limp, no detour through selection.
+    import json
+
+    states = [json.loads(ln)["state"] for ln in lines]
+    assert states[-1] == "TRACKING", states
+    assert all(s == "TRACKING" for s in states[1:]), states

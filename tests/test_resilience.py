@@ -105,6 +105,46 @@ def test_concurrent_commands_during_tracking():
         t.join(timeout=2)
 
 
+def test_session_reacquires_after_device_fault(monkeypatch):
+    """A device fault mid-TRACKING must not cost the target: the session
+    recovers the backend, re-seeds the template from the last confirmed
+    box (machine.py _process_tracking), and the Lost ramp re-acquires —
+    instead of limping 'tracker not initialised' to the 60-frame
+    auto-reset (recover() drops TrackState and with it the template)."""
+    from gstreamer_vit_tracker_tpu.tracker import core
+
+    params = vittrack.init_params(jax.random.PRNGKey(42), CORR)
+    clean = SyntheticSource(320, 256, obj_size=48, seed=3)
+    backend = JaxTrackerBackend(params, CORR)
+    logs = []
+    sess = TrackerSession(backend, 320, 256, SessionConfig(),
+                          log=logs.append)
+    bbox0 = tuple(int(v) for v in clean.bbox_at(0))
+    backend.init(clean.frame_rgb(0), bbox0)
+    b, score, ok = backend.update(clean.frame_rgb(0))
+    sess.current_bbox = b
+    sess.current_score = score
+    sess.state = "tracking"
+
+    real = core.update_packed_jit
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("DEVICE_LOST: relay aborted (injected)")
+        return real(*a, **k)
+
+    monkeypatch.setattr(core, "update_packed_jit", flaky)
+    states = []
+    for i in range(1, 10):
+        sess.process_frame(clean.frame_rgb(i))
+        states.append(sess.state_name())
+    assert "LOST" in states, states            # the fault dropped us Lost
+    assert states[-1] == "TRACKING", states    # ...and we re-acquired
+    assert not any("not initialised" in m for m in logs), logs
+
+
 def test_app_loop_recovers_from_backend_crash(monkeypatch, capsys):
     """Kill the device backend mid-run: update_packed_jit raises for a few
     frames (simulating the relay ABORTED faults).  The app loop must
