@@ -88,13 +88,19 @@ class SlotEngine:
         self.mesh = mesh
         if mesh is not None:
             # Multi-chip serving: the slot axis shards over the mesh 'data'
-            # axis (same layout as parallel/serving.py::ShardedStreamTracker
-            # — embarrassingly parallel, params replicated, no steady-state
-            # collectives); slot count must tile the axis.
-            ndev = mesh.devices.size
-            if slots % ndev != 0:
+            # axis (same layout as parallel/serving.py::ShardedStreamTracker).
+            # On a pure-data mesh params replicate (embarrassingly parallel,
+            # no steady-state collectives); on a dp x tp mesh params take
+            # the Megatron tensor-parallel layout (parallel/sharding.py) and
+            # XLA inserts the all-reduces inside the serving forward — the
+            # layout for models too large to replicate per chip.  Slot count
+            # must tile the DATA axis (the model axis does not split slots).
+            from ..parallel.mesh import DATA_AXIS as _DA
+
+            dp = mesh.shape[_DA]
+            if slots % dp != 0:
                 raise ValueError(f"slots={slots} must be a multiple of the "
-                                 f"mesh size {ndev}")
+                                 f"mesh data-axis size {dp}")
         self._host_params = jax.device_get(params)
         self.params = self._place_params(params)
         z = zeros_state(cfg)
@@ -112,8 +118,11 @@ class SlotEngine:
     def _place_params(self, params):
         if self.mesh is None:
             return jax.tree.map(jnp.asarray, params)
-        from ..parallel.sharding import replicate
+        from ..parallel.mesh import MODEL_AXIS
+        from ..parallel.sharding import replicate, shard_params
 
+        if self.mesh.shape.get(MODEL_AXIS, 1) > 1:
+            return shard_params(jax.tree.map(jnp.asarray, params), self.mesh)
         return replicate(jax.tree.map(jnp.asarray, params), self.mesh)
 
     def _place_state(self, state):

@@ -144,3 +144,52 @@ def test_dp_tp_train_scan_on_mesh(rng):
     assert int(state.step) == 3
     k = state.params["backbone"]["blocks"][0]["qkv"]["kernel"]
     assert len(k.sharding.device_set) == 8
+
+
+def test_tp_sharded_serving_forward_matches_single_device(rng):
+    """VERDICT r4 item 3: the Megatron tensor-parallel layout proven for
+    the SERVING forward, not just grads — a SlotEngine on a 4x2 dp x tp
+    mesh (params column/row-split over 'model', slots over 'data') must
+    produce packed [x,y,w,h,score] rows equal to the single-device engine
+    up to f32 reduction order."""
+    from gstreamer_vit_tracker_tpu.serve import SlotEngine
+
+    scfg = ModelConfig(template_size=32, search_size=64, patch_size=16,
+                       embed_dim=32, depth=2, num_heads=2, dtype="float32")
+    params = vittrack.init_params(jax.random.PRNGKey(7), scfg)
+    s, h, w = 8, 64, 96
+    ys0 = rng.integers(0, 256, (s, h, w), dtype=np.uint8)
+    uvs0 = rng.integers(0, 256, (s, h // 2, w // 2, 2), dtype=np.uint8)
+    ys1 = rng.integers(0, 256, (s, h, w), dtype=np.uint8)
+    uvs1 = rng.integers(0, 256, (s, h // 2, w // 2, 2), dtype=np.uint8)
+    bbs = [[20.0 + 2.0 * i, 16.0 + float(i), 24.0, 20.0] for i in range(s)]
+
+    eng_tp = SlotEngine(params, scfg, slots=s, frame_format="nv12",
+                        mesh=make_mesh((4, 2)))
+    eng_one = SlotEngine(params, scfg, slots=s, frame_format="nv12")
+    for eng in (eng_tp, eng_one):
+        for i in range(s):
+            eng.init_slot(eng.alloc(), (ys0[i], uvs0[i]), bbs[i])
+    active = np.ones(s, bool)
+    packed_tp = eng_tp.step((ys1, uvs1), active)
+    packed_one = eng_one.step((ys1, uvs1), active)
+
+    k = eng_tp.params["backbone"]["blocks"][0]["qkv"]["kernel"]
+    assert len(k.sharding.device_set) == 8
+    assert not k.sharding.is_fully_replicated   # genuinely split, not copied
+    np.testing.assert_allclose(packed_tp, packed_one, rtol=1e-4, atol=1e-4)
+
+
+def test_slot_engine_mesh_slot_check_uses_data_axis():
+    """slots must tile the DATA axis, not the whole mesh: 4 slots on a
+    4x2 mesh is legal (model axis doesn't split slots)."""
+    from gstreamer_vit_tracker_tpu.serve import SlotEngine
+
+    scfg = ModelConfig(template_size=32, search_size=64, patch_size=16,
+                       embed_dim=32, depth=1, num_heads=2, dtype="float32")
+    params = vittrack.init_params(jax.random.PRNGKey(0), scfg)
+    SlotEngine(params, scfg, slots=4, frame_format="rgb",
+               mesh=make_mesh((4, 2)))
+    with pytest.raises(ValueError):
+        SlotEngine(params, scfg, slots=6, frame_format="rgb",
+                   mesh=make_mesh((4, 2)))
