@@ -181,6 +181,18 @@ def main(argv=None) -> int:
     fps = n / wall
     scan_step_ms = 1000.0 * wall / n   # steady-state MEAN step time (scan)
 
+    # Model-FLOPs utilisation (VERDICT r4 item 4): static matmul/conv
+    # count of one tracked frame (preprocess GEMMs + embed + 12 blocks +
+    # grouped head — utils/flops.py, validated against XLA cost analysis
+    # in tests/test_flops.py) against the v5e bf16 peak (197 TFLOP/s).
+    # The model is shape-bound at D=192/320 tokens; the measured dead
+    # ends (int8 W8A8, patch-major embed, Mosaic patchify) are recorded
+    # in CLAUDE.md / docs/ARCHITECTURE.md.
+    from gstreamer_vit_tracker_tpu.utils import flops as flops_mod
+
+    headline_gf = flops_mod.update_gflops(cfg, h, w, "nv12",
+                                          grouped_head=True)
+
     # --- Secondary: per-frame Python dispatch loop (interactive shape).
     # (a) async chained dispatch, one packed fetch at the end (throughput);
     # (b) fully synchronous per-frame latency — dispatch + the packed
@@ -227,6 +239,7 @@ def main(argv=None) -> int:
         # When this run's loop fps is well below that, EVERY number in this
         # line is a lower bound measured through a degraded window.
         "window_degraded": bool(backend != "cpu" and loop_fps < 1200.0),
+        **flops_mod.mfu_fields(fps, headline_gf),
         "backend": backend,
         "model": "vittrack-t(192d x12L, bf16, conv head)"
                  + (" trained" if trained else " random-init"),
@@ -279,6 +292,11 @@ def main(argv=None) -> int:
         swall = timed_runs(run_streams)
         result["stream_fps_total"] = round(reps * s / swall, 1)
         result["streams"] = s
+        # Batched paths run the 3-tower head (multi.py), not the grouped one.
+        result.update(flops_mod.mfu_fields(
+            reps * s / swall,
+            flops_mod.update_gflops(cfg, h, w, "nv12", grouped_head=False),
+            prefix="stream_"))
 
     def _config_objects():
         # Config 3: N targets in one shared 1080p frame, online template
@@ -350,8 +368,15 @@ def main(argv=None) -> int:
             np.asarray(disp[:2, :2])   # the display buffer is real
             return time.perf_counter() - t0
 
-        result["uhd_fps"] = round(reps / timed_runs(run_uhd), 1)
+        uhd_fps = reps / timed_runs(run_uhd)
+        result["uhd_fps"] = round(uhd_fps, 1)
         result["uhd_hud"] = "per-frame on-device composite"
+        # HUD compositing work is NOT in the FLOP count (elementwise
+        # masking) — uhd MFU is a slight undercount by construction.
+        result.update(flops_mod.mfu_fields(
+            uhd_fps, flops_mod.update_gflops(cfg, h4, w4, "nv12",
+                                             grouped_head=True),
+            prefix="uhd_"))
 
     def _config_rgb():
         # BASELINE config 1: single-object tracking over 1080p RGB frames

@@ -174,11 +174,18 @@ class SlotEngine:
 
     # -- the tick ------------------------------------------------------------
 
-    def step(self, frames, tick_active: np.ndarray) -> np.ndarray:
-        """One batched tick.  ``frames`` are full (S, ...) host buffers;
-        ``tick_active`` (S,) bool marks slots with a FRESH frame this tick
-        (stale slots' state is held bit-for-bit by the masked update).
-        Returns packed (S, 5) [x, y, w, h, score] float32."""
+    def step_async(self, frames, tick_active: np.ndarray):
+        """Dispatch one batched tick WITHOUT fetching the result: returns
+        the packed (S, 5) [x, y, w, h, score] result as a DEVICE array the
+        caller materialises later (``np.asarray``).
+
+        JAX async dispatch makes the next tick legal immediately — the
+        donated state chain threads through dispatches in call order — so
+        a server can overlap tick N's host fetch (one full relay RTT on
+        the dev box) with tick N+1's device step instead of paying
+        step+RTT serially per tick (VERDICT r4 item 1; the reference's
+        own display path is decoupled from processing the same way,
+        /root/reference/src/pipeline_ir.rs:75-84)."""
         self._ticks += 1
         if self.snapshot_every and self._ticks % self.snapshot_every == 0:
             self.snapshot()
@@ -186,7 +193,14 @@ class SlotEngine:
         self.state, packed = _step_packed(
             self.params, self.state, self._place_frames(frames),
             active, self.cfg, self.frame_format)
-        return np.asarray(packed)
+        return packed
+
+    def step(self, frames, tick_active: np.ndarray) -> np.ndarray:
+        """One SYNCHRONOUS batched tick.  ``frames`` are full (S, ...) host
+        buffers; ``tick_active`` (S,) bool marks slots with a FRESH frame
+        this tick (stale slots' state is held bit-for-bit by the masked
+        update).  Returns packed (S, 5) [x, y, w, h, score] float32."""
+        return np.asarray(self.step_async(frames, tick_active))
 
     def _place_frames(self, frames):
         if self.frame_format == "nv12":
