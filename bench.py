@@ -510,6 +510,36 @@ def main(argv=None) -> int:
         result["serve_ticks_per_s"] = round(ticks / swall, 1)
         result["serve_slots"] = s
 
+        # Pipelined variant (round 5, VERDICT r4 item 1): dispatch tick
+        # N+1 before fetching tick N's packed (S, 5) array — a pool of
+        # ``depth`` fetcher threads keeps up to ``depth`` result fetches
+        # in flight, overlapping the per-tick host RTT with device work
+        # (TrackServer runs the same structure via pipeline_depth).
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = 2
+        ex = ThreadPoolExecutor(depth)
+
+        def run_serve_pipelined():
+            futs = deque()
+            t0 = time.perf_counter()
+            for _ in range(ticks):
+                packed_dev = eng.step_async((ys_s, uvs_s), active)
+                futs.append(ex.submit(np.asarray, packed_dev))
+                if len(futs) > depth:
+                    futs.popleft().result()
+            while futs:
+                futs.popleft().result()
+            return time.perf_counter() - t0
+
+        run_serve_pipelined()   # warm the thread pool / fetch path
+        pwall = timed_runs(run_serve_pipelined)
+        ex.shutdown()
+        result["serve_fps_pipelined"] = round(ticks * s / pwall, 1)
+        result["serve_ticks_per_s_pipelined"] = round(ticks / pwall, 1)
+        result["serve_pipeline_depth"] = depth
+
     if not args.headline_only:
         if args.streams:
             _optional("stream", _config_streams)

@@ -27,6 +27,10 @@ def main(argv=None) -> int:
                          "to expose the service)")
     ap.add_argument("--port", type=int, default=7301)
     ap.add_argument("--batch-window-ms", type=float, default=2.0)
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="dispatched-but-unfetched ticks allowed in flight "
+                         "(>=2 overlaps each tick's result fetch with the "
+                         "next tick's device step; 1 = fully synchronous)")
     ap.add_argument("--snapshot-every", type=int, default=60)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -60,7 +64,8 @@ def main(argv=None) -> int:
                         snapshot_every=args.snapshot_every)
     server = TrackServer(engine, args.height, args.width, host=args.host,
                          port=args.port,
-                         batch_window_ms=args.batch_window_ms)
+                         batch_window_ms=args.batch_window_ms,
+                         pipeline_depth=args.pipeline_depth)
     print(f"tracking service: {server.host}:{server.port} "
           f"({args.slots} slots, {args.format} {args.width}x{args.height}, "
           f"model {args.model}, backend {jax.default_backend()})",

@@ -24,6 +24,7 @@ framework extension that makes TPU batch-serving externally reachable.
 
 from __future__ import annotations
 
+import queue
 import socket
 import sys
 import threading
@@ -52,11 +53,18 @@ class TrackServer:
     def __init__(self, engine: SlotEngine, height: int, width: int,
                  host: str = "127.0.0.1", port: int = 0,
                  batch_window_ms: float = 2.0,
-                 update_timeout_s: float = 60.0):
+                 update_timeout_s: float = 60.0,
+                 pipeline_depth: int = 2):
         self.engine = engine
         self.h, self.w = height, width
         self.batch_window_s = batch_window_ms / 1000.0
         self.update_timeout_s = update_timeout_s
+        # How many dispatched-but-unfetched ticks may be outstanding.  At
+        # depth >= 2 tick N's packed-result fetch (one full relay RTT on
+        # the dev box) overlaps tick N+1's dispatch + device step instead
+        # of serialising (VERDICT r4 item 1); depth 1 restores the
+        # strictly synchronous round-4 behaviour.
+        self.pipeline_depth = max(1, int(pipeline_depth))
         # Wire-protocol body bound derived from the ACTUAL frame geometry
         # (one frame payload + generous JSON-header slack) — a malformed
         # length prefix is rejected before any allocation (protocol.recv_msg)
@@ -94,7 +102,13 @@ class TrackServer:
 
     def start(self) -> None:
         self._running = True
-        for target in (self._accept_loop, self._tick_loop):
+        # Bounded handoff queue: the tick thread blocks on put() once
+        # pipeline_depth ticks are dispatched-but-unfetched, so the state
+        # chain never runs unboundedly ahead of the fetches.
+        self._fetch_q: "queue.Queue" = queue.Queue(maxsize=self.pipeline_depth)
+        targets = [self._accept_loop, self._tick_loop]
+        targets += [self._fetch_loop] * self.pipeline_depth
+        for target in targets:
             t = threading.Thread(target=target, daemon=True)
             t.start()
             self._threads.append(t)
@@ -248,6 +262,15 @@ class TrackServer:
             self._buf[slot] = frame
 
     # -- the batching tick -------------------------------------------------------
+    #
+    # Pipelined since round 5 (VERDICT r4 item 1): the tick thread only
+    # DISPATCHES the donated-state step (engine.step_async) and hands the
+    # (batch, device packed array) pair to a pool of fetcher threads; the
+    # packed-result fetch — one full relay RTT per tick on the dev box —
+    # overlaps the next tick's collect + dispatch + device step instead of
+    # serialising with it.  Result-contract: every waiter still receives
+    # the packed row computed FROM ITS OWN FRAME (never a stale tick's) —
+    # only the delivery overlaps later ticks' device work.
 
     def _tick_loop(self) -> None:
         while True:
@@ -259,6 +282,8 @@ class TrackServer:
                         w.error = "server stopping"
                         w.event.set()
                     self._pending.clear()
+                    for _ in range(self.pipeline_depth):
+                        self._fetch_q.put(None)   # release fetcher threads
                     return
             # Linger so concurrent streams coalesce into one batched step —
             # unless every occupied slot has already reported.
@@ -275,17 +300,41 @@ class TrackServer:
                 tick_active[list(batch)] = True
             try:
                 with self.engine.lock:
-                    packed = self.engine.step(self._buf, tick_active)
+                    packed_dev = self.engine.step_async(self._buf, tick_active)
                 self._ticks += 1
-                for slot, w in batch.items():
-                    w.result = packed[slot]
-                    w.event.set()
-            except Exception as e:   # noqa: BLE001 — device/relay fault:
-                # recover the engine, fail this tick's waiters cleanly.
-                self._faults += 1
-                with self.engine.lock:
-                    lost = self.engine.recover()
-                self._dead_slots.update(lost)
-                for slot, w in batch.items():
-                    w.error = f"device fault: {type(e).__name__}"
-                    w.event.set()
+            except Exception as e:   # noqa: BLE001 — dispatch-time fault
+                self._fault(batch, e)
+                continue
+            # Blocks once pipeline_depth ticks are outstanding — bounded
+            # staleness, exactly like the reference's leaky display queue
+            # (max-size-buffers=3, pipeline_ir.rs:75-78).
+            self._fetch_q.put((batch, packed_dev))
+
+    def _fetch_loop(self) -> None:
+        while True:
+            item = self._fetch_q.get()
+            if item is None:
+                return
+            batch, packed_dev = item
+            try:
+                packed = np.asarray(packed_dev)
+            except Exception as e:   # noqa: BLE001 — device/relay fault
+                self._fault(batch, e)
+                continue
+            for slot, w in batch.items():
+                w.result = packed[slot]
+                w.event.set()
+
+    def _fault(self, batch, e: Exception) -> None:
+        """Device/relay fault on a dispatch or fetch: recover the engine,
+        fail this tick's waiters cleanly.  With several ticks in flight
+        each failed fetch lands here; recover() is idempotent (params from
+        the host master, state from the last snapshot) and lost-slot
+        accounting only marks slots on their first loss."""
+        self._faults += 1
+        with self.engine.lock:
+            lost = self.engine.recover()
+        self._dead_slots.update(lost)
+        for slot, w in batch.items():
+            w.error = f"device fault: {type(e).__name__}"
+            w.event.set()

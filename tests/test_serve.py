@@ -314,16 +314,17 @@ def test_disconnect_frees_slots(server):
 # ---------------------------------------------------------------------------
 
 def _inject_one_fault(engine):
-    real_step = engine.step
+    # The pipelined server dispatches via step_async (server.py tick loop).
+    real_step = engine.step_async
     fired = {"n": 0}
 
-    def step(frames, active):
+    def step_async(frames, active):
         if fired["n"] == 0:
             fired["n"] = 1
             raise RuntimeError("injected device fault")
         return real_step(frames, active)
 
-    engine.step = step
+    engine.step_async = step_async
     return fired
 
 
@@ -366,3 +367,92 @@ def test_fault_marks_unsnapshotted_slot_for_reinit(server):
         # A survived throughout.
         bbox_a, _ = ca.update(src_a.frame_rgb(1))
         assert np.isfinite(bbox_a).all()
+
+
+# ---------------------------------------------------------------------------
+# Pipelined tick (round 5): overlap delivery with later ticks' device work
+# ---------------------------------------------------------------------------
+
+def test_step_async_chain_matches_sync_steps(corr_params, rng):
+    """Dispatching several ticks before fetching any result (the pipelined
+    server's shape) must produce bit-identical packed rows to the fully
+    synchronous per-tick protocol — the donated state chain threads
+    through async dispatches in call order."""
+    def mk():
+        eng = SlotEngine(corr_params, CORR, slots=2, frame_format="rgb",
+                         snapshot_every=0)
+        for i in range(2):
+            s = _source(i)
+            eng.init_slot(eng.alloc(), s.frame_rgb(0),
+                          np.asarray(s.bbox_at(0), np.float32))
+        return eng
+
+    srcs = [_source(i) for i in range(2)]
+    frames = [np.stack([s.frame_rgb(t) for s in srcs]) for t in range(1, 5)]
+    active = np.ones(2, bool)
+
+    eng_sync = mk()
+    sync_rows = [eng_sync.step(f, active) for f in frames]
+
+    eng_pipe = mk()
+    devs = [eng_pipe.step_async(f, active) for f in frames]  # all in flight
+    pipe_rows = [np.asarray(d) for d in devs]
+
+    for a, b in zip(sync_rows, pipe_rows):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pipelined_server_results_match_depth1(corr_params):
+    """The delivery-overlap contract: a waiter's reply is computed FROM
+    ITS OWN FRAME — pipeline_depth only changes when the fetch happens,
+    never which tick's row a client receives.  Same frames through a
+    depth-1 (fully synchronous) and a depth-3 server must give identical
+    trajectories."""
+    src = _source(11)
+    trajs = []
+    for depth in (1, 3):
+        engine = SlotEngine(corr_params, CORR, slots=2, frame_format="rgb",
+                            snapshot_every=1000)
+        srv = TrackServer(engine, H, W, port=0, batch_window_ms=0.5,
+                          pipeline_depth=depth)
+        srv.start()
+        try:
+            with TrackClient(srv.host, srv.port) as c:
+                c.init(src.frame_rgb(0), src.bbox_at(0))
+                traj = [c.update(src.frame_rgb(t))[0] for t in range(1, 7)]
+        finally:
+            srv.stop()
+        trajs.append(np.asarray(traj))
+    np.testing.assert_array_equal(trajs[0], trajs[1])
+
+
+def test_pipelined_fetch_fault_recovers(server):
+    """A fault surfacing at FETCH time (relay dies between dispatch and
+    result materialisation — the new failure point pipelining adds) must
+    recover exactly like a dispatch-time fault: failed update, engine
+    recovery, tracking continues."""
+    src = _source(13)
+    real = server.engine.step_async
+    fired = {"n": 0}
+
+    class _PoisonFetch:
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("injected fetch-time relay fault")
+
+    def step_async(frames, active):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            real(frames, active)       # advance state like a real tick
+            return _PoisonFetch()
+        return real(frames, active)
+
+    server.engine.step_async = step_async
+    with TrackClient(server.host, server.port) as c:
+        c.init(src.frame_rgb(0), src.bbox_at(0))   # first-init snapshot
+        with pytest.raises(TrackServiceError):
+            c.update(src.frame_rgb(1))
+        bbox, score = c.update(src.frame_rgb(2))   # recovered
+        assert np.isfinite(bbox).all() and np.isfinite(score)
+        for i in range(3, 8):
+            bbox, _ = c.update(src.frame_rgb(i))
+        assert iou(bbox, src.bbox_at(7)) > 0.2
