@@ -34,7 +34,8 @@ import numpy as np
 
 from ..config import AppConfig, ModelConfig
 from ..media.sink import FileSink, MJPEGSink, MultiSink, NullSink
-from ..media.source import FileSource, SyntheticSource, V4L2Source
+from ..media.source import (FileSource, FlakySource, SyntheticSource,
+                            V4L2Source)
 from ..ops import overlay
 from ..session.machine import JaxTrackerBackend, TrackerSession
 from ..utils.profiling import PhaseTimer
@@ -125,6 +126,20 @@ def build_argparser() -> argparse.ArgumentParser:
                          "tracker_context.rs:64-115; default: synthetic gt "
                          "box, else a centre box)")
     ap.add_argument("--seed", type=int, default=0)
+    # Fault injection for soak/resilience runs (scripts/soak.py; the
+    # reference has no analog — it exits on any pipeline error,
+    # main.rs:56-65).  0 disables.
+    ap.add_argument("--inject-source-fault", type=int, default=0,
+                    metavar="N",
+                    help="raise one transport fault (OSError + reopen "
+                         "required) every N frames")
+    ap.add_argument("--inject-device-fault", type=int, default=0,
+                    metavar="N",
+                    help="make the tracker backend raise once every N "
+                         "updates (exercises backend re-create + re-seed)")
+    ap.add_argument("--inject-corrupt", type=int, default=0, metavar="N",
+                    help="corrupt the frame content every N frames "
+                         "(exercises the Lost/re-detection path)")
     ap.add_argument("--speed", type=float, default=2.0,
                     help="synthetic target speed (0 = static)")
     ap.add_argument("--cpu", action="store_true",
@@ -147,6 +162,38 @@ def _default_checkpoint(model: str) -> str:
     path = os.path.join(os.path.dirname(__file__), "..", "..", "assets",
                         names[model])
     return path if os.path.exists(path) else ""
+
+
+class _FaultyBackend:
+    """--inject-device-fault N: proxy that makes the backend raise once
+    every N updates (counted per backend instance — a re-created backend
+    starts a fresh countdown).  Everything else passes through."""
+
+    def __init__(self, inner, every: int):
+        self._inner = inner
+        self._every = every
+        self._n = 0
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def update(self, frame):
+        self._n += 1
+        if self._every and self._n % self._every == 0:
+            raise RuntimeError("injected device fault")
+        return self._inner.update(frame)
+
+
+def _unwrap(src):
+    """See through the fault-injection wrapper for type/geometry checks."""
+    return src.inner if isinstance(src, FlakySource) else src
+
+
+def _wrap_flaky(src, args):
+    if not (args.inject_source_fault or args.inject_corrupt):
+        return src
+    return FlakySource(src, corrupt_every=args.inject_corrupt,
+                       fault_every=args.inject_source_fault, seed=args.seed)
 
 
 def make_source(args):
@@ -197,6 +244,10 @@ def main(argv=None) -> int:
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
 
     src = make_source(args)
+    # Fault-injection wrap AFTER construction: isinstance checks below
+    # (synthetic auto-init bbox, file end-of-stream) see through it via
+    # src.inner; the frame loop sees the faulty surface.
+    src = _wrap_flaky(src, args)
     width, height = src.width, src.height
     # The source dictates the actual buffer layout: --source v4l2 delivers
     # packed YUY2 and --source file whatever the file holds; feeding those
@@ -220,14 +271,20 @@ def main(argv=None) -> int:
     if multi_mode:
         from ..session.multi import JaxMultiTrackerBackend, MultiObjectSession
 
-        def make_backend():
+        def _make_backend():
             return JaxMultiTrackerBackend(params, mcfg, args.objects,
                                           frame_format=args.fmt,
                                           exclusive=args.exclusive)
     else:
-        def make_backend():
+        def _make_backend():
             return JaxTrackerBackend(params, mcfg, frame_format=args.fmt,
                                      pipelined=args.pipelined)
+
+    def make_backend():
+        b = _make_backend()
+        if args.inject_device_fault:
+            b = _FaultyBackend(b, args.inject_device_fault)
+        return b
 
     backend = make_backend()
     app_cfg = AppConfig()
@@ -274,8 +331,8 @@ def main(argv=None) -> int:
                       f"selection: {w}x{h}")
                 return 2
             bbox = (x, y, w, h)
-        elif isinstance(src, SyntheticSource):
-            bbox = tuple(int(v) for v in src.bbox_at(0))
+        elif isinstance(_unwrap(src), SyntheticSource):
+            bbox = tuple(int(v) for v in _unwrap(src).bbox_at(0))
         else:
             bbox = (width // 2 - 40, height // 2 - 40, 80, 80)
         frame0 = src.frame(0)
@@ -284,8 +341,9 @@ def main(argv=None) -> int:
             # lookalike distractor patches (real trackable content).
             session.tracker.init_slot(frame0, 0, bbox)
             for k in range(1, args.objects):
-                if isinstance(src, SyntheticSource) and src._distractors:
-                    bb = tuple(int(v) for v in src.object_bbox_at(k, 0))
+                if (isinstance(_unwrap(src), SyntheticSource)
+                        and _unwrap(src)._distractors):
+                    bb = tuple(int(v) for v in _unwrap(src).object_bbox_at(k, 0))
                 else:
                     bb = (20 + 90 * k, 20, 80, 80)
                 session.tracker.init_slot(frame0, k, bb)
@@ -322,9 +380,9 @@ def main(argv=None) -> int:
     # (the reference's pipeline gets EOS from v4l2src; our analog is the
     # file length) instead of riding the fault-recovery path off the end.
     end_frame = args.frames
-    if isinstance(src, FileSource) and not src.loop:
-        end_frame = (min(end_frame, src.num_frames) if end_frame
-                     else src.num_frames)
+    if isinstance(_unwrap(src), FileSource) and not _unwrap(src).loop:
+        end_frame = (min(end_frame, _unwrap(src).num_frames) if end_frame
+                     else _unwrap(src).num_frames)
 
     t_start = time.perf_counter()
     # Fault recovery: the reference merely exits on pipeline errors
@@ -333,6 +391,9 @@ def main(argv=None) -> int:
     # giving up only after MAX_CONSECUTIVE_FAULTS bad frames in a row.
     MAX_CONSECUTIVE_FAULTS = 30
     consecutive_faults = 0
+    total_faults = 0
+    source_reopens = 0
+    backend_recreates = 0
 
     try:
         while running.is_set():
@@ -369,6 +430,7 @@ def main(argv=None) -> int:
                 break
             except Exception as e:
                 consecutive_faults += 1
+                total_faults += 1
                 print(f"\rFrame {frame_idx} error: {e!r} "
                       f"({consecutive_faults}/{MAX_CONSECUTIVE_FAULTS})")
                 if consecutive_faults >= MAX_CONSECUTIVE_FAULTS:
@@ -386,6 +448,7 @@ def main(argv=None) -> int:
                     # as the next fault.
                     try:
                         src.reopen()
+                        source_reopens += 1
                     except Exception as e3:
                         print(f"Source reopen failed: {e3!r}")
                 else:
@@ -399,6 +462,7 @@ def main(argv=None) -> int:
                         backend = make_backend()
                         session.tracker = backend
                         _reseed_backend(src, session, backend, frame_idx)
+                        backend_recreates += 1
                     except Exception as e2:
                         print(f"Backend re-create failed: {e2!r}")
                     if hasattr(session, "slots") or \
@@ -424,7 +488,9 @@ def main(argv=None) -> int:
     print(f"\nDone: {frame_idx} frames in {wall:.1f}s "
           f"({frame_idx / max(wall, 1e-9):.1f} fps), "
           f"final state {session.state_name()}, "
-          f"avg track {stats.avg_track_ms():.2f}ms")
+          f"avg track {stats.avg_track_ms():.2f}ms, "
+          f"faults {total_faults} (reopens {source_reopens}, "
+          f"backend recreates {backend_recreates})")
     return 0
 
 

@@ -941,18 +941,40 @@ class FlakySource:
     """
 
     def __init__(self, inner, drop_every: int = 0, corrupt_every: int = 0,
-                 seed: int = 0):
+                 fault_every: int = 0, seed: int = 0):
         self.inner = inner
         self.drop_every = drop_every
         self.corrupt_every = corrupt_every
+        # Transport-fault injection (soak testing, scripts/soak.py): every
+        # ``fault_every`` frames one OSError is raised — the app's fault
+        # loop must call :meth:`reopen` (the camera-reconnect path,
+        # app/main.py) before frames flow again, exactly like a real
+        # MJPEG/V4L2 transport drop (media/mjpeg.py reconnect semantics).
+        self.fault_every = fault_every
         self.width = inner.width
         self.height = inner.height
         self.fps = getattr(inner, "fps", 60)
         self.fmt = getattr(inner, "fmt", "rgb")
         self._rng = np.random.default_rng(seed)
         self._last = None
+        self._fault_fired_at = -1
+        self._needs_reopen = False
+        self.reopen_count = 0
+
+    def reopen(self) -> None:
+        self._needs_reopen = False
+        self.reopen_count += 1
+        if hasattr(self.inner, "reopen"):
+            self.inner.reopen()
 
     def frame(self, i: int):
+        if self._needs_reopen:
+            raise OSError("injected transport fault: source not reopened")
+        if (self.fault_every and i and i % self.fault_every == 0
+                and i != self._fault_fired_at):
+            self._fault_fired_at = i
+            self._needs_reopen = True
+            raise OSError("injected transport fault")
         f = self.inner.frame(i)
         if self.drop_every and i and i % self.drop_every == 0:
             # Dropped frame: deliver the previous one again (camera stall).

@@ -168,3 +168,29 @@ def test_init_bbox_validation():
             capture_output=True, text=True, timeout=300)
         assert proc.returncode == 2, proc.stdout + proc.stderr
         assert "error: --init-bbox" in proc.stdout
+
+
+def test_headless_fault_injection_soak_flags():
+    """--inject-source-fault / --inject-device-fault / --inject-corrupt
+    (the soak harness's hooks, scripts/soak.py): transport faults ride
+    the reopen path, device faults the session's recover+re-seed path,
+    and the run completes with every fault recovered and the target
+    still TRACKING."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "gstreamer_vit_tracker_tpu.app.main",
+         "--headless", "--cpu", "--model", "corr-tiny", "--width", "320",
+         "--height", "256", "--frames", "150", "--no-pace",
+         "--format", "nv12", "--inject-source-fault", "40",
+         "--inject-device-fault", "45", "--inject-corrupt", "0"],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = proc.stdout
+    assert "injected transport fault" in out           # source faults fired
+    assert "reopens 3" in out, out                     # ...and all recovered
+    assert "Tracker error" in out                      # device faults fired
+    assert "re-acquired" in out or "faults" in out
+    assert "Unrecoverable" not in out
+    assert "final state TRACKING" in out, out
