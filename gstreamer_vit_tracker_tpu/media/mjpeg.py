@@ -40,7 +40,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         pass
     import io
 
-    from PIL import Image
+    try:
+        from PIL import Image
+    except ImportError:
+        raise RuntimeError(
+            "MJPEG decode needs cv2 or PIL (neither is importable): "
+            "--source mjpeg and the MJPEG preview sink are unavailable "
+            "on this box — use --source synthetic/file/v4l2 instead "
+            "(see README capability matrix)") from None
 
     return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
 

@@ -404,6 +404,18 @@ def main(argv=None) -> int:
               "the conv head (use --preset vittrack-t)", file=sys.stderr)
         return 2
 
+    if args.tracker == "cv2":
+        # Fail with the fix, not a bare ImportError mid-eval (README
+        # capability matrix: cv2 is optional; only this mode and the
+        # export self-check need it).
+        try:
+            import cv2  # noqa: F401
+        except ImportError:
+            print("--tracker cv2 needs OpenCV (cv2 is not importable on "
+                  "this box). Use --tracker matched for the cv2-exact "
+                  "decode without cv2, or --tracker ours.", file=sys.stderr)
+            return 2
+
     if args.tracker == "matched":
         import dataclasses
 
