@@ -63,11 +63,24 @@ def make_source(scenario: str, seq: int, args) -> object:
     """Scenario -> ground-truthed source.  '+'-composition stacks
     hardenings on one scene: ``occlusion+distractor``,
     ``scale+shake+occlusion``, ... (heldout is its own world and doesn't
-    compose)."""
+    compose).
+
+    ``--world independent`` swaps EVERY scenario onto the independent
+    world (media/indie.py — no renderer code shared with the training
+    families; VERDICT r4 item 2).  There 'heldout' degenerates to
+    'basic': the whole world is held out by construction."""
     obj = 40 + 8 * seq
     kw = dict(obj_size=obj, seed=seq, speed=args.speed)
-    if scenario == "heldout":
-        return HeldoutSource(args.width, args.height, **kw)
+    if getattr(args, "world", "family") == "independent":
+        from gstreamer_vit_tracker_tpu.media.indie import IndependentSource
+
+        cls = IndependentSource
+        if scenario == "heldout":
+            return cls(args.width, args.height, **kw)
+    else:
+        cls = SyntheticSource
+        if scenario == "heldout":
+            return HeldoutSource(args.width, args.height, **kw)
     for part in scenario.split("+"):
         if part == "basic":
             pass
@@ -111,7 +124,7 @@ def make_source(scenario: str, seq: int, args) -> object:
             kw.update(noise_sigma=12.0)
         else:
             raise SystemExit(f"unknown scenario part {part!r}")
-    return SyntheticSource(args.width, args.height, **kw)
+    return cls(args.width, args.height, **kw)
 
 
 def run_sequence_multi(params, cfg, src, frames: int, n_obj: int,
@@ -274,6 +287,12 @@ def main(argv=None) -> int:
     # the deployment frame size.  (Round-2 verdict: 5x60@320x256 was too
     # thin to back the long-horizon claims — and never even reached the
     # first occluder pass.)
+    ap.add_argument("--world", default="family",
+                    choices=("family", "independent"),
+                    help="family: the training-sibling worlds (default); "
+                         "independent: media/indie.py — zero renderer "
+                         "code shared with any training family, the "
+                         "renderer-overfitting bound")
     ap.add_argument("--seqs", type=int, default=3)
     ap.add_argument("--frames", type=int, default=400)
     ap.add_argument("--speed", type=float, default=3.0)
