@@ -198,11 +198,12 @@ class SyntheticSource:
                  morph_rate: float = 0.0,
                  exit_spec: Optional[Tuple[int, int]] = None,
                  patch_style: str = "quad", bg_style: str = "smooth",
-                 mask_style: str = "none", edge_fade: float = 0.0):
+                 mask_style: str = "none", edge_fade: float = 0.0,
+                 bg_motion: int = 0):
         assert fmt in ("rgb", "nv12", "yuy2")
         assert patch_style in ("quad", "noise", "grad", "stripes")
         assert bg_style in ("smooth", "octave")
-        assert mask_style in ("none", "ellipse", "diamond")
+        assert mask_style in ("none", "ellipse", "diamond", "blob")
         # appearance_drift > 0 darkens the target over time (tests the
         # online template update, BASELINE.json config 3).
         self.appearance_drift = appearance_drift
@@ -326,8 +327,40 @@ class SyntheticSource:
         if mask_style != "none":
             self._ax_frac = float(rng.uniform(0.85, 1.0))
             self._ay_frac = float(rng.uniform(0.85, 1.0))
+            if mask_style == "blob":
+                # Rotated harmonic silhouette r(theta) = 1 + sum a_k
+                # cos(k theta + phi_k): a GENERAL smooth-shape family
+                # (lobed blobs through rounded near-rects) for the
+                # round-5 generalisation fine-tune — real targets are
+                # rarely axis-aligned conics.  Amplitudes kept small so
+                # the silhouette stays star-convex and inside the box.
+                self._blob_amp = rng.uniform(0.04, 0.14, 4)
+                self._blob_phase = rng.uniform(0, 2 * np.pi, 4)
+                self._blob_rot = float(rng.uniform(0, 2 * np.pi))
         else:
             self._ax_frac = self._ay_frac = 1.0
+        # Dynamic background (round-5): ``bg_motion=N`` composites N soft
+        # moving colour blobs onto the background every frame — real
+        # scenes have moving structure (clouds, shadows, lights), and a
+        # re-detection ramp trained only on STATIC backgrounds latches
+        # onto anything that moves.  Dedicated rng stream + gated draws:
+        # default scenes stay bit-identical.
+        self.bg_motion = int(bg_motion)
+        self._bg_blobs = []
+        if self.bg_motion:
+            brng = np.random.default_rng(seed + 33_331)
+            for _ in range(self.bg_motion):
+                sig = float(brng.uniform(16.0, 56.0))
+                r = int(2.2 * sig)
+                g = np.mgrid[-r:r + 1, -r:r + 1].astype(np.float32)
+                a = np.exp(-(g[0] ** 2 + g[1] ** 2) / (2 * sig * sig))
+                col = brng.uniform(-70.0, 70.0, 3).astype(np.float32)
+                self._bg_blobs.append({
+                    "alpha": a, "col": col, "r": r,
+                    "x": float(brng.uniform(0, width)),
+                    "y": float(brng.uniform(0, height)),
+                    "vx": float(brng.uniform(-1.4, 1.4)),
+                    "vy": float(brng.uniform(-1.4, 1.4))})
 
     def scale_at(self, i: int) -> float:
         """Target render scale at frame ``i`` (1.0 without a schedule).
@@ -477,6 +510,33 @@ class SyntheticSource:
                                 + m * mb.astype(np.float32)),
                        0, 255).astype(np.uint8)
 
+    def _bg_at(self, i: int, sx: int = 0, sy: int = 0) -> np.ndarray:
+        """Background at frame ``i``: static copy, plus the ``bg_motion``
+        moving blobs (positions wrap; they pan with camera shake like the
+        rest of the scene)."""
+        if sx or sy:
+            img = np.roll(self.background, (sy, sx), axis=(0, 1))
+        else:
+            img = self.background.copy()
+        if not self.bg_motion:
+            return img
+        for b in self._bg_blobs:
+            bx = (b["x"] + b["vx"] * i) % self.width + sx
+            by = (b["y"] + b["vy"] * i) % self.height + sy
+            x, y = int(round(bx)) - b["r"], int(round(by)) - b["r"]
+            sh, sw = b["alpha"].shape
+            x0, y0 = max(0, x), max(0, y)
+            x1, y1 = min(self.width, x + sw), min(self.height, y + sh)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            # Region-local blend: full-frame float conversion here would
+            # dominate datagen cost on the 1-core host.
+            al = b["alpha"][y0 - y:y1 - y, x0 - x:x1 - x, None]
+            reg = img[y0:y1, x0:x1].astype(np.float32)
+            img[y0:y1, x0:x1] = np.clip(reg + al * b["col"],
+                                        0, 255).astype(np.uint8)
+        return img
+
     def _alpha_at(self, size: int) -> Optional[np.ndarray]:
         """Target alpha mask at ``size`` px (None = opaque rectangle).
         Binary silhouette for ellipse/diamond; ``edge_fade`` f ramps alpha
@@ -495,6 +555,18 @@ class SyntheticSource:
                 r = np.sqrt((dx / ax) ** 2 + (dy / ay) ** 2)
             elif self.mask_style == "diamond":
                 r = np.abs(dx) / ax + np.abs(dy) / ay
+            elif self.mask_style == "blob":
+                theta = np.arctan2(dy, dx) + self._blob_rot
+                rad = np.ones_like(theta)
+                for k, (amp, ph) in enumerate(zip(self._blob_amp,
+                                                  self._blob_phase)):
+                    rad += amp * np.cos((k + 2) * theta + ph)
+                # Mean-normalise so the silhouette FILLS its gt box
+                # (max-normalising shrank coverage to ~38% — label
+                # noise for the size head); lobes that poke past the
+                # box simply truncate at its edge.
+                rad /= rad.mean()
+                r = np.sqrt((dx / ax) ** 2 + (dy / ay) ** 2) / rad
             else:   # rectangular extent, fade toward the box edges
                 r = np.maximum(np.abs(dx), np.abs(dy)) / (size / 2.0)
             if self.edge_fade > 0.0:
@@ -543,7 +615,7 @@ class SyntheticSource:
         MISMATCHED brightness, the regime the drift scenario's static
         template faces — it composes multiplicatively with any
         ``appearance_drift``-driven fade)."""
-        img = self.background.copy()
+        img = self._bg_at(i)
         w = h = max(8, int(round(self.obj_size * scale)))
         xi = max(0, min(self.width - w, int(round(x))))
         yi = max(0, min(self.height - h, int(round(y))))
@@ -596,12 +668,10 @@ class SyntheticSource:
             img, _ = self.frame_rgb_at(x, y, i)
             return img
         sx, sy = self.shake_at(i)
-        if sx or sy:
-            # Camera pan: the background translates with the scene (wraps
-            # at the frame edge — cheap and textured enough to be benign).
-            img = np.roll(self.background, (sy, sx), axis=(0, 1))
-        else:
-            img = self.background.copy()
+        # Camera pan: the background translates with the scene (wraps
+        # at the frame edge — cheap and textured enough to be benign);
+        # bg_motion blobs ride on top inside _bg_at.
+        img = self._bg_at(i, sx, sy)
         for j in range(len(self._distractors)):       # under the target
             dx, dy = self._distractor_pos(j, i)
             self._paste(img, self._patch_at(self.obj_size, j), dx, dy)

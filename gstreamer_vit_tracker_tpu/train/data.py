@@ -81,13 +81,32 @@ _BG_STYLES = ("smooth", "smooth", "octave")
 _MASK_STYLES = ("none",) * 6 + ("ellipse", "diamond")
 _EDGE_FADES = (0.0, 0.0, 0.0, 0.25)
 
+# Round-5 diversity v2 (the independent-world generalisation fine-tune,
+# VERDICT r4 items 2/8): adds the rotated harmonic-blob silhouette family
+# and moving-background blobs (bg_motion) to ~1/3 of scenes, and slightly
+# raises the soft-edge frequency.  The balance lesson holds (CLAUDE.md):
+# the clean-rect majority that anchors confidence is preserved.
+_MASK_STYLES_V2 = ("none",) * 5 + ("ellipse", "diamond", "blob")
+_EDGE_FADES_V2 = (0.0, 0.0, 0.25, 0.12)
+_DIVERSITY = "v1"
+
+
+def set_diversity(v: str) -> None:
+    """Select the scene-style tables ('v1' = shipped recipe, 'v2' =
+    round-5 generalisation tables).  Clears the scene pool on change."""
+    global _DIVERSITY
+    assert v in ("v1", "v2")
+    if v != _DIVERSITY:
+        _SOURCE_POOL.clear()
+    _DIVERSITY = v
+
 
 def _pooled_source(seed: int, obj: int) -> SyntheticSource:
     """Scene construction dominates sample cost; reuse a bounded pool of
     pre-built scenes (seeds repeat, frames/jitter still vary)."""
     w, h = _SCENE_SIZES[seed % len(_SCENE_SIZES)]
     k0, ob = seed % 16, (obj // 8) * 8
-    key = (k0, ob, w)
+    key = (k0, ob, w, _DIVERSITY)
     # Appearance styles are DETERMINISTIC functions of the key (not of the
     # full seed): every style combination would otherwise multiply the key
     # space ~20x past _SOURCE_POOL_MAX, and scene construction — not crop
@@ -96,10 +115,14 @@ def _pooled_source(seed: int, obj: int) -> SyntheticSource:
     # samples/s).  Styles still cover all families across the 16 k0 x obj
     # bands x sizes; a cache hit always returns exactly the styles this
     # key maps to.
+    masks = _MASK_STYLES_V2 if _DIVERSITY == "v2" else _MASK_STYLES
+    fades = _EDGE_FADES_V2 if _DIVERSITY == "v2" else _EDGE_FADES
     pi = (k0 * 2 + ob // 8) % len(_PATCH_STYLES)
     bi = (k0 + w) % len(_BG_STYLES)
-    mi = (k0 + ob // 8 + w) % len(_MASK_STYLES)
-    fi = (k0 // 2 + ob // 8) % len(_EDGE_FADES)
+    mi = (k0 + ob // 8 + w) % len(masks)
+    fi = (k0 // 2 + ob // 8) % len(fades)
+    bgm = 4 if (_DIVERSITY == "v2"
+                and (k0 + ob // 8 + w // 160) % 3 == 0) else 0
     src = _SOURCE_POOL.get(key)
     if src is None:
         if len(_SOURCE_POOL) >= _SOURCE_POOL_MAX:
@@ -107,7 +130,7 @@ def _pooled_source(seed: int, obj: int) -> SyntheticSource:
         src = SyntheticSource(
             w, h, obj_size=obj, seed=k0 * 131 + obj,
             patch_style=_PATCH_STYLES[pi], bg_style=_BG_STYLES[bi],
-            mask_style=_MASK_STYLES[mi], edge_fade=_EDGE_FADES[fi])
+            mask_style=masks[mi], edge_fade=fades[fi], bg_motion=bgm)
         _SOURCE_POOL[key] = src
     return src
 
@@ -208,10 +231,18 @@ def sample_raw(rng: np.random.Generator, cfg: ModelConfig,
     zy = cy + rng.uniform(-0.05, 0.05) * h
     z = _crop_np(frame, zx, zy, zsize, cfg.template_size)
 
-    if delta or fade_x != fade_z:
-        # Search-side render at a mismatched angle / brightness (same
-        # scene/position — bbox is invariant to both by construction).
-        frame, _ = src.frame_rgb_at(px, py, fi_, scale=scale,
+    dfi = 0
+    if src.bg_motion and rng.random() < 0.5:
+        # Moving-structure mismatch: re-render the SEARCH side a few
+        # frames later so the bg_motion blobs have moved between the
+        # template capture and the search frame while the target stayed
+        # put — the cue that moving background structure is not the
+        # target (the independent world's drifting-blob failure mode).
+        dfi = int(rng.integers(1, 40))
+    if delta or fade_x != fade_z or dfi:
+        # Search-side render at a mismatched angle / brightness / time
+        # (same scene/position — bbox is invariant by construction).
+        frame, _ = src.frame_rgb_at(px, py, fi_ + dfi, scale=scale,
                                     rotation_deg=theta + delta,
                                     fade=fade_x)
 

@@ -102,6 +102,13 @@ def main(argv=None) -> int:
                     help="steps per scanned chunk / log line")
     ap.add_argument("--save-every", type=int, default=1000,
                     help="checkpoint cadence (relay-crash insurance)")
+    ap.add_argument("--data-diversity", default="v1", choices=("v1", "v2"),
+                    help="v2 (round 5): adds rotated harmonic-blob "
+                         "silhouettes and moving-background blobs to ~1/3 "
+                         "of scenes, plus the search-frame time shift that "
+                         "makes them move between template and search "
+                         "(train/data.py) — the independent-world "
+                         "generalisation recipe")
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--save-fp16", action="store_true",
                     help="save the checkpoint as float16 (half size)")
@@ -143,6 +150,8 @@ def main(argv=None) -> int:
                          warmup_steps=warmup, clip_norm=args.clip)
     state = create_train_state(params, opt=opt, ema_decay=args.ema)
     key = jax.random.PRNGKey(args.seed + 1)
+
+    data.set_diversity(args.data_diversity)
 
     def gen_dataset(seed):
         t = time.perf_counter()

@@ -439,3 +439,85 @@ def test_exit_composes_with_occlusion_visibility():
                           exit_spec=(300, 100), occlusion=(200, 41))
     vals = [src.visible_frac_at(i) for i in range(0, 300, 3)]
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 diversity v2: blob silhouettes + moving-background blobs
+# ---------------------------------------------------------------------------
+
+def test_bg_motion_defaults_bit_identical():
+    """bg_motion=0 (the default) must not change any existing scene."""
+    import numpy as np
+
+    from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
+
+    a = SyntheticSource(320, 256, obj_size=40, seed=9)
+    b = SyntheticSource(320, 256, obj_size=40, seed=9, bg_motion=0)
+    for i in (0, 7, 40):
+        assert np.array_equal(a.frame_rgb(i), b.frame_rgb(i))
+
+
+def test_bg_motion_blobs_move_between_frames():
+    import numpy as np
+
+    from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
+
+    s = SyntheticSource(320, 256, obj_size=40, seed=9, bg_motion=4)
+    x, y, w, h = (int(v) for v in s.bbox_at(0))
+    f0, f30 = s.frame_rgb(0).astype(int), s.frame_rgb(30).astype(int)
+    # Mask out target paths; background-only pixels still changed (blobs
+    # moved) — static-world backgrounds never do.
+    m = np.ones((256, 320), bool)
+    for i in (0, 30):
+        xi, yi, wi, hi = (int(v) for v in s.bbox_at(i))
+        m[max(0, yi - 4):yi + hi + 4, max(0, xi - 4):xi + wi + 4] = False
+    assert np.abs(f0 - f30).max(axis=-1)[m].mean() > 1.0
+    # Ground truth unchanged by blobs.
+    p = SyntheticSource(320, 256, obj_size=40, seed=9)
+    assert s.bbox_at(17) == p.bbox_at(17)
+
+
+def test_blob_mask_is_rotated_nonconvex_family():
+    import numpy as np
+
+    from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
+
+    s = SyntheticSource(320, 256, obj_size=48, seed=11, mask_style="blob",
+                        edge_fade=0.12)
+    a = s._alpha_at(48)
+    assert a is not None and a.shape == (48, 48)
+    assert 0.4 < a.mean() < 1.0          # silhouette, not full rect
+    assert a.max() == 1.0                # opaque core
+    # Differs from the ellipse family at the same seed.
+    e = SyntheticSource(320, 256, obj_size=48, seed=11,
+                        mask_style="ellipse", edge_fade=0.12)
+    assert not np.allclose(a, e._alpha_at(48))
+
+
+def test_data_diversity_v2_switch():
+    import numpy as np
+
+    from gstreamer_vit_tracker_tpu.config import ModelConfig
+    from gstreamer_vit_tracker_tpu.train import data
+
+    cfg = ModelConfig(template_size=32, search_size=64, patch_size=16,
+                      embed_dim=32, depth=1, num_heads=2, dtype="float32")
+    rng = np.random.default_rng(1)
+    try:
+        data.set_diversity("v2")
+        styles = set()
+        motions = []
+        for _ in range(60):
+            data.sample_raw(rng, cfg)
+        for src in data._SOURCE_POOL.values():
+            styles.add(src.mask_style)
+            motions.append(src.bg_motion)
+        assert "blob" in styles
+        assert any(m > 0 for m in motions) and any(m == 0 for m in motions)
+    finally:
+        data.set_diversity("v1")
+    # v1 pool never contains v2 features.
+    for _ in range(40):
+        data.sample_raw(rng, cfg)
+    for src in data._SOURCE_POOL.values():
+        assert src.mask_style != "blob" and src.bg_motion == 0
