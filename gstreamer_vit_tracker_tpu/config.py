@@ -135,6 +135,15 @@ class ModelConfig:
     # re-acquisition when the occluder passes.  0.0 restores the
     # always-follow behaviour (what cv2's TrackerVit does internally).
     window_freeze_threshold: float = 0.25
+    # Max per-frame relative size change of the tracked box (0 disables).
+    # Periodic textures (lattices, halftone dots, fences) correlate at
+    # many shifts, letting the size head enter a window-growth feedback
+    # loop (measured on the independent eval world: 48 -> 294 px in ~20
+    # frames, confidently tracking the lattice afterwards).  Legitimate
+    # dynamics are far below this: the 0.5x-2x in-family scale sweep
+    # peaks at ~1.5%/frame.  cv2's TrackerVit has no such clamp — this is
+    # a deliberate robustness extension, like the window freeze above.
+    size_rate_limit: float = 0.25
     # Re-detection ramp: with the window frozen in place, each consecutive
     # low-confidence frame multiplies the search-window factor by
     # ``lost_window_growth`` (capped at ``lost_window_max_growth``x) so a

@@ -201,12 +201,13 @@ class SyntheticSource:
                  mask_style: str = "none", edge_fade: float = 0.0,
                  bg_motion: int = 0):
         assert fmt in ("rgb", "nv12", "yuy2")
-        assert patch_style in ("quad", "noise", "grad", "stripes")
+        assert patch_style in ("quad", "noise", "grad", "stripes", "tiles")
         assert bg_style in ("smooth", "octave")
         assert mask_style in ("none", "ellipse", "diamond", "blob")
         # appearance_drift > 0 darkens the target over time (tests the
         # online template update, BASELINE.json config 3).
         self.appearance_drift = appearance_drift
+        self.patch_style = patch_style
         self.width = width
         self.height = height
         self.fps = fps
@@ -270,6 +271,21 @@ class SyntheticSource:
             t = (np.cos(ang) * xx + np.sin(ang) * yy).astype(np.float32)
             t = (t - t.min()) / max(t.max() - t.min(), 1e-6)
             patch = c0 * (1 - t[..., None]) + c1 * t[..., None]
+        elif patch_style == "tiles":
+            # 2D-PERIODIC lattice (round-5): a k x k colour cell tiled
+            # rep times, nearest-sampled to s px.  Periodic textures
+            # correlate at many shifts — the regime where the size head
+            # must learn to read the silhouette BOUNDARY, not texture
+            # extent (the independent world's halftone-dots failure
+            # mode; construction here is a square colour tiling, a
+            # different family from that world's dot lattices).
+            k = int(rng.integers(2, 4))
+            rep = int(rng.integers(3, 6))
+            cell = rng.integers(0, 256, size=(k, k, 3)).astype(np.float32)
+            t2 = np.tile(cell, (rep, rep, 1))
+            n2 = t2.shape[0]
+            idx = (np.arange(s) * n2) // s
+            patch = t2[idx][:, idx]
         else:                                   # stripes
             c0 = rng.uniform(0, 255, 3).astype(np.float32)
             c1 = rng.uniform(0, 255, 3).astype(np.float32)

@@ -203,6 +203,18 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
     origin = jnp.stack([window.cx, window.cy]) - 0.5 * window.size
     cxy = origin + bbox_norm[0:2] * window.size
     wh = jnp.clip(bbox_norm[2:4] * window.size, 1.0, lim)
+    if cfg.size_rate_limit > 0.0:
+        # Physical-plausibility clamp on per-frame size change
+        # (config.py::size_rate_limit).  Periodic textures (lattices,
+        # fences, halftones) correlate at many shifts, so the size head
+        # can read "object everywhere" and enter a window-growth feedback
+        # loop (measured on the independent eval world: 48 px -> 294 px
+        # in ~20 frames, then confidently tracking the lattice).  Real
+        # targets never grow 25%/frame — the in-family 0.5x-2x scale
+        # sweep peaks at ~1.5%/frame — so the clamp only bites on
+        # pathology.
+        r = 1.0 + cfg.size_rate_limit
+        wh = jnp.clip(wh, state.bbox[2:4] / r, state.bbox[2:4] * r)
     xy = jnp.clip(cxy - 0.5 * wh, 0.0, lim - wh)
     new_bbox = jnp.concatenate([xy, wh])
     if cfg.window_freeze_threshold > 0.0:

@@ -88,6 +88,7 @@ _EDGE_FADES = (0.0, 0.0, 0.0, 0.25)
 # the clean-rect majority that anchors confidence is preserved.
 _MASK_STYLES_V2 = ("none",) * 5 + ("ellipse", "diamond", "blob")
 _EDGE_FADES_V2 = (0.0, 0.0, 0.25, 0.12)
+_PATCH_STYLES_V2 = ("quad", "quad", "noise", "grad", "stripes", "tiles")
 _DIVERSITY = "v1"
 
 
@@ -117,7 +118,8 @@ def _pooled_source(seed: int, obj: int) -> SyntheticSource:
     # key maps to.
     masks = _MASK_STYLES_V2 if _DIVERSITY == "v2" else _MASK_STYLES
     fades = _EDGE_FADES_V2 if _DIVERSITY == "v2" else _EDGE_FADES
-    pi = (k0 * 2 + ob // 8) % len(_PATCH_STYLES)
+    patches = _PATCH_STYLES_V2 if _DIVERSITY == "v2" else _PATCH_STYLES
+    pi = (k0 * 2 + ob // 8) % len(patches)
     bi = (k0 + w) % len(_BG_STYLES)
     mi = (k0 + ob // 8 + w) % len(masks)
     fi = (k0 // 2 + ob // 8) % len(fades)
@@ -129,7 +131,7 @@ def _pooled_source(seed: int, obj: int) -> SyntheticSource:
             _SOURCE_POOL.clear()
         src = SyntheticSource(
             w, h, obj_size=obj, seed=k0 * 131 + obj,
-            patch_style=_PATCH_STYLES[pi], bg_style=_BG_STYLES[bi],
+            patch_style=patches[pi], bg_style=_BG_STYLES[bi],
             mask_style=masks[mi], edge_fade=fades[fi], bg_motion=bgm)
         _SOURCE_POOL[key] = src
     return src

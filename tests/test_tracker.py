@@ -249,3 +249,44 @@ def test_exclusive_loser_template_not_contaminated(corr_params):
     # the winner's template DID update (interval 1, threshold 0)
     assert not np.array_equal(np.asarray(st_x.z_tok[1 - loser]),
                               np.asarray(st.z_tok[1 - loser]))
+
+
+def test_size_rate_limit_caps_pathological_growth(rng):
+    """config.size_rate_limit: a decoded box may not grow/shrink more
+    than the configured fraction per frame (the periodic-texture
+    window-growth feedback observed on the independent world); 0 turns
+    the clamp off."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gstreamer_vit_tracker_tpu.config import ModelConfig
+    from gstreamer_vit_tracker_tpu.models import vittrack
+    from gstreamer_vit_tracker_tpu.tracker import core
+
+    cfg = ModelConfig(template_size=32, search_size=64, patch_size=16,
+                      embed_dim=32, depth=1, num_heads=2, dtype="float32",
+                      size_rate_limit=0.25)
+    params = vittrack.init_params(jax.random.PRNGKey(3), cfg)
+    frame = jnp.asarray(rng.integers(0, 256, (128, 160, 3), np.uint8))
+    bbox0 = jnp.asarray([60.0, 50.0, 24.0, 24.0])
+    st = core.init(params, frame, bbox0, cfg)
+    # Random-weight heads decode arbitrary sizes; with the clamp the
+    # per-frame ratio is bounded regardless.
+    prev = np.asarray(st.bbox)[2:4]
+    for _ in range(6):
+        st, bbox, _ = core.update_jit(params, st, frame, cfg)
+        wh = np.asarray(bbox)[2:4]
+        ratio = wh / prev
+        assert (ratio <= 1.2501).all() and (ratio >= 1 / 1.2501).all(), ratio
+        prev = np.asarray(st.bbox)[2:4]
+
+    off = dataclasses.replace(cfg, size_rate_limit=0.0)
+    st2 = core.init(params, frame, bbox0, off)
+    st2, bbox2, _ = core.update_jit(params, st2, frame, off)
+    # With the clamp off the same weights are free to jump further in
+    # one step than the clamped path ever can (random heads make the
+    # decoded size far from the seed box).
+    r2 = np.asarray(bbox2)[2:4] / np.asarray(bbox0)[2:4]
+    assert (r2 > 1.2501).any() or (r2 < 1 / 1.2501).any(), r2
