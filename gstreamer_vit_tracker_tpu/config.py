@@ -144,6 +144,15 @@ class ModelConfig:
     # peaks at ~1.5%/frame.  cv2's TrackerVit has no such clamp — this is
     # a deliberate robustness extension, like the window freeze above.
     size_rate_limit: float = 0.25
+    # Size is a slow, high-confidence quantity: below this confidence the
+    # box SIZE holds its previous value while position keeps updating
+    # (0 disables).  Sits between window_freeze_threshold (full freeze,
+    # 0.25) and normal tracking: the lattice-balloon pathology above rides
+    # exactly this half-confident band (measured conf 0.04-0.51 while the
+    # box grew 48 -> 300 px), whereas every legitimate size change in the
+    # scenario suite happens at conf >= 0.8.  Another deliberate extension
+    # over cv2's TrackerVit.
+    size_conf_freeze: float = 0.5
     # Re-detection ramp: with the window frozen in place, each consecutive
     # low-confidence frame multiplies the search-window factor by
     # ``lost_window_growth`` (capped at ``lost_window_max_growth``x) so a

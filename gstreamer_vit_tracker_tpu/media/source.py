@@ -199,7 +199,9 @@ class SyntheticSource:
                  exit_spec: Optional[Tuple[int, int]] = None,
                  patch_style: str = "quad", bg_style: str = "smooth",
                  mask_style: str = "none", edge_fade: float = 0.0,
-                 bg_motion: int = 0):
+                 bg_motion: int = 0,
+                 bg_motion_sigma: Tuple[float, float] = (16.0, 56.0),
+                 bg_motion_col: float = 70.0):
         assert fmt in ("rgb", "nv12", "yuy2")
         assert patch_style in ("quad", "noise", "grad", "stripes", "tiles")
         assert bg_style in ("smooth", "octave")
@@ -280,8 +282,18 @@ class SyntheticSource:
             # mode; construction here is a square colour tiling, a
             # different family from that world's dot lattices).
             k = int(rng.integers(2, 4))
-            rep = int(rng.integers(3, 6))
-            cell = rng.integers(0, 256, size=(k, k, 3)).astype(np.float32)
+            rep = int(rng.integers(3, 9))
+            if rng.random() < 0.5:
+                # Two-tone variant (diversity v3): a binary k x k pattern
+                # of exactly two colours — the high-frequency two-colour
+                # periodic regime (fences, halftones, checkers) where
+                # appearance models alias worst.
+                c2 = rng.uniform(0, 255, (2, 3)).astype(np.float32)
+                bits = rng.integers(0, 2, size=(k, k))
+                cell = c2[bits]
+            else:
+                cell = rng.integers(0, 256,
+                                    size=(k, k, 3)).astype(np.float32)
             t2 = np.tile(cell, (rep, rep, 1))
             n2 = t2.shape[0]
             idx = (np.arange(s) * n2) // s
@@ -364,13 +376,15 @@ class SyntheticSource:
         self.bg_motion = int(bg_motion)
         self._bg_blobs = []
         if self.bg_motion:
+            lo, hi = bg_motion_sigma
             brng = np.random.default_rng(seed + 33_331)
             for _ in range(self.bg_motion):
-                sig = float(brng.uniform(16.0, 56.0))
+                sig = float(brng.uniform(lo, hi))
                 r = int(2.2 * sig)
                 g = np.mgrid[-r:r + 1, -r:r + 1].astype(np.float32)
                 a = np.exp(-(g[0] ** 2 + g[1] ** 2) / (2 * sig * sig))
-                col = brng.uniform(-70.0, 70.0, 3).astype(np.float32)
+                col = brng.uniform(-bg_motion_col, bg_motion_col,
+                                   3).astype(np.float32)
                 self._bg_blobs.append({
                     "alpha": a, "col": col, "r": r,
                     "x": float(brng.uniform(0, width)),

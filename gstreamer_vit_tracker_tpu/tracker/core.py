@@ -215,6 +215,12 @@ def update(params: Params, state: TrackState, frame, cfg: ModelConfig,
         # pathology.
         r = 1.0 + cfg.size_rate_limit
         wh = jnp.clip(wh, state.bbox[2:4] / r, state.bbox[2:4] * r)
+    if cfg.size_conf_freeze > 0.0:
+        # Half-confident frames update position only; the size head's
+        # output is unreliable exactly when the score map is ambiguous
+        # (config.py::size_conf_freeze — the other half of the
+        # lattice-balloon fix above).
+        wh = jnp.where(conf > cfg.size_conf_freeze, wh, state.bbox[2:4])
     xy = jnp.clip(cxy - 0.5 * wh, 0.0, lim - wh)
     new_bbox = jnp.concatenate([xy, wh])
     if cfg.window_freeze_threshold > 0.0:

@@ -89,14 +89,24 @@ _EDGE_FADES = (0.0, 0.0, 0.0, 0.25)
 _MASK_STYLES_V2 = ("none",) * 5 + ("ellipse", "diamond", "blob")
 _EDGE_FADES_V2 = (0.0, 0.0, 0.25, 0.12)
 _PATCH_STYLES_V2 = ("quad", "quad", "noise", "grad", "stripes", "tiles")
+# v3 (round-5 second iteration): the v2-trained checkpoint stopped the
+# lattice balloon but still loses periodic-texture targets where big
+# moving background blobs re-tint the search context (measured f35-80 on
+# the independent dots seeds).  v3 doubles the tiles share (now with the
+# two-tone high-frequency variant, media/source.py), and raises moving-
+# background coverage to 1/2 of scenes with bigger, stronger blobs —
+# the context-invariance regime, weighted harder.  Clean-rect majority
+# still preserved (4/6 unmasked, 2/6 patches periodic).
+_PATCH_STYLES_V3 = ("quad", "noise", "grad", "stripes", "tiles", "tiles")
+_BGM_STRONG = dict(bg_motion_sigma=(24.0, 80.0), bg_motion_col=90.0)
 _DIVERSITY = "v1"
 
 
 def set_diversity(v: str) -> None:
-    """Select the scene-style tables ('v1' = shipped recipe, 'v2' =
+    """Select the scene-style tables ('v1' = shipped recipe, 'v2'/'v3' =
     round-5 generalisation tables).  Clears the scene pool on change."""
     global _DIVERSITY
-    assert v in ("v1", "v2")
+    assert v in ("v1", "v2", "v3")
     if v != _DIVERSITY:
         _SOURCE_POOL.clear()
     _DIVERSITY = v
@@ -116,15 +126,22 @@ def _pooled_source(seed: int, obj: int) -> SyntheticSource:
     # samples/s).  Styles still cover all families across the 16 k0 x obj
     # bands x sizes; a cache hit always returns exactly the styles this
     # key maps to.
-    masks = _MASK_STYLES_V2 if _DIVERSITY == "v2" else _MASK_STYLES
-    fades = _EDGE_FADES_V2 if _DIVERSITY == "v2" else _EDGE_FADES
-    patches = _PATCH_STYLES_V2 if _DIVERSITY == "v2" else _PATCH_STYLES
+    v23 = _DIVERSITY in ("v2", "v3")
+    masks = _MASK_STYLES_V2 if v23 else _MASK_STYLES
+    fades = _EDGE_FADES_V2 if v23 else _EDGE_FADES
+    patches = {"v1": _PATCH_STYLES, "v2": _PATCH_STYLES_V2,
+               "v3": _PATCH_STYLES_V3}[_DIVERSITY]
     pi = (k0 * 2 + ob // 8) % len(patches)
     bi = (k0 + w) % len(_BG_STYLES)
     mi = (k0 + ob // 8 + w) % len(masks)
     fi = (k0 // 2 + ob // 8) % len(fades)
-    bgm = 4 if (_DIVERSITY == "v2"
-                and (k0 + ob // 8 + w // 160) % 3 == 0) else 0
+    if _DIVERSITY == "v3":
+        bgm = 5 if (k0 + ob // 8 + w // 160) % 2 == 0 else 0
+        bgm_kw = _BGM_STRONG if bgm else {}
+    else:
+        bgm = 4 if (_DIVERSITY == "v2"
+                    and (k0 + ob // 8 + w // 160) % 3 == 0) else 0
+        bgm_kw = {}
     src = _SOURCE_POOL.get(key)
     if src is None:
         if len(_SOURCE_POOL) >= _SOURCE_POOL_MAX:
@@ -132,7 +149,8 @@ def _pooled_source(seed: int, obj: int) -> SyntheticSource:
         src = SyntheticSource(
             w, h, obj_size=obj, seed=k0 * 131 + obj,
             patch_style=patches[pi], bg_style=_BG_STYLES[bi],
-            mask_style=masks[mi], edge_fade=fades[fi], bg_motion=bgm)
+            mask_style=masks[mi], edge_fade=fades[fi], bg_motion=bgm,
+            **bgm_kw)
         _SOURCE_POOL[key] = src
     return src
 

@@ -102,7 +102,7 @@ def main(argv=None) -> int:
                     help="steps per scanned chunk / log line")
     ap.add_argument("--save-every", type=int, default=1000,
                     help="checkpoint cadence (relay-crash insurance)")
-    ap.add_argument("--data-diversity", default="v1", choices=("v1", "v2"),
+    ap.add_argument("--data-diversity", default="v1", choices=("v1", "v2", "v3"),
                     help="v2 (round 5): adds rotated harmonic-blob "
                          "silhouettes and moving-background blobs to ~1/3 "
                          "of scenes, plus the search-frame time shift that "

@@ -267,7 +267,7 @@ def test_size_rate_limit_caps_pathological_growth(rng):
 
     cfg = ModelConfig(template_size=32, search_size=64, patch_size=16,
                       embed_dim=32, depth=1, num_heads=2, dtype="float32",
-                      size_rate_limit=0.25)
+                      size_rate_limit=0.25, size_conf_freeze=0.0)
     params = vittrack.init_params(jax.random.PRNGKey(3), cfg)
     frame = jnp.asarray(rng.integers(0, 256, (128, 160, 3), np.uint8))
     bbox0 = jnp.asarray([60.0, 50.0, 24.0, 24.0])
@@ -290,3 +290,43 @@ def test_size_rate_limit_caps_pathological_growth(rng):
     # decoded size far from the seed box).
     r2 = np.asarray(bbox2)[2:4] / np.asarray(bbox0)[2:4]
     assert (r2 > 1.2501).any() or (r2 < 1 / 1.2501).any(), r2
+
+
+def test_size_conf_freeze_holds_size_not_position(rng):
+    """config.size_conf_freeze: below the confidence gate the box SIZE
+    holds its previous value while position keeps updating (the other
+    half of the lattice-balloon fix — the pathology rides the
+    half-confident band between window_freeze_threshold and normal
+    tracking)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gstreamer_vit_tracker_tpu.config import ModelConfig
+    from gstreamer_vit_tracker_tpu.models import vittrack
+    from gstreamer_vit_tracker_tpu.tracker import core
+
+    # window_freeze off so position always updates; gate at 0.999 means
+    # every frame is "half-confident" (conf <= 1 by construction).
+    cfg = ModelConfig(template_size=32, search_size=64, patch_size=16,
+                      embed_dim=32, depth=1, num_heads=2, dtype="float32",
+                      size_rate_limit=0.0, window_freeze_threshold=0.0,
+                      size_conf_freeze=0.999)
+    params = vittrack.init_params(jax.random.PRNGKey(3), cfg)
+    frame = jnp.asarray(rng.integers(0, 256, (128, 160, 3), np.uint8))
+    bbox0 = jnp.asarray([60.0, 50.0, 24.0, 24.0])
+    st = core.init(params, frame, bbox0, cfg)
+    moved = False
+    for _ in range(4):
+        st, bbox, _ = core.update_jit(params, st, frame, cfg)
+        b = np.asarray(bbox)
+        assert np.allclose(b[2:4], [24.0, 24.0]), b   # size held
+        moved = moved or not np.allclose(b[0:2], [60.0, 50.0])
+    assert moved, "position should keep updating under the size gate"
+
+    # Gate off: the same random heads decode a size away from the seed.
+    free = dataclasses.replace(cfg, size_conf_freeze=0.0)
+    st2 = core.init(params, frame, bbox0, free)
+    st2, bbox2, _ = core.update_jit(params, st2, frame, free)
+    assert not np.allclose(np.asarray(bbox2)[2:4], [24.0, 24.0])
