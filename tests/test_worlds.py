@@ -521,3 +521,48 @@ def test_data_diversity_v2_switch():
         data.sample_raw(rng, cfg)
     for src in data._SOURCE_POOL.values():
         assert src.mask_style != "blob" and src.bg_motion == 0
+
+
+def test_data_diversity_v3_tables():
+    """diversity v3 (round-5 second iteration): doubled periodic-tiles
+    share and 1/2-coverage strong moving-background blobs; v1 pool stays
+    free of every v2/v3 feature."""
+    import numpy as np
+
+    from gstreamer_vit_tracker_tpu.config import ModelConfig
+    from gstreamer_vit_tracker_tpu.train import data
+
+    cfg = ModelConfig(template_size=32, search_size=64, patch_size=16,
+                      embed_dim=32, depth=1, num_heads=2, dtype="float32")
+    rng = np.random.default_rng(2)
+    try:
+        data.set_diversity("v3")
+        for _ in range(60):
+            data.sample_raw(rng, cfg)
+        pool = list(data._SOURCE_POOL.values())
+        n_tiles = sum(s.patch_style == "tiles" for s in pool)
+        n_bgm = sum(s.bg_motion > 0 for s in pool)
+        # Tiles share roughly doubles vs v2's 1/6; strong blobs on ~1/2.
+        assert n_tiles >= len(pool) // 4, (n_tiles, len(pool))
+        assert n_bgm >= len(pool) // 3, (n_bgm, len(pool))
+        assert any(s.bg_motion == 5 for s in pool)
+    finally:
+        data.set_diversity("v1")
+
+
+def test_tiles_two_tone_variant_exists():
+    """The v3 two-tone tiles variant: some tiles draws use exactly two
+    distinct colours (high-frequency periodic two-colour regime)."""
+    import numpy as np
+
+    from gstreamer_vit_tracker_tpu.media.source import SyntheticSource
+
+    two_tone = False
+    for seed in range(24):
+        s = SyntheticSource(160, 128, obj_size=48, seed=seed,
+                            patch_style="tiles")
+        interior = s.patch[4:-4, 4:-4].reshape(-1, 3)
+        if len(np.unique(interior, axis=0)) == 2:
+            two_tone = True
+            break
+    assert two_tone
